@@ -1,0 +1,176 @@
+"""1-D convolutions in NWC layout (channels on the TPU lane dimension).
+
+Replaces the reference's torch ``ConvNorm`` (``cube/networks/modules.py:37-55``) and the
+HiFi-GAN weight-normalized convs/transposed-convs (hifigan submodule, configured by
+``examples/hifigan/config_v1.json``). torch-equivalent semantics (symmetric padding,
+transposed-conv output length (T−1)·s − 2p + k) so parity tests can import torch weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv(x, kernel, stride=1, padding=0, dilation=1, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_transpose(x, kernel, stride=1, padding=0):
+    """kernel layout (k, out, in) — torch ConvTranspose1d semantics."""
+    k = kernel.shape[0]
+    kern = jnp.swapaxes(jnp.flip(kernel, axis=0), 1, 2)  # (k, in, out) for the dilated conv
+    pad = k - 1 - padding
+    return jax.lax.conv_general_dilated(
+        x, kern,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def xavier_uniform_gain(gain: float):
+    def init(key, shape, dtype=jnp.float32):
+        # shape (k, in, out): fan_in = k*in, fan_out = k*out (torch Conv1d convention)
+        k, fin, fout = shape
+        a = gain * np.sqrt(6.0 / (k * fin + k * fout))
+        return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+    return init
+
+
+class Conv1d(nn.Module):
+    """Plain Conv1d, xavier-init with gain (reference ConvNorm, modules.py:37-55)."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int | None = None  # None → 'same' for odd kernels ((k-1)//2 * dilation)
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gain = {"linear": 1.0, "relu": np.sqrt(2.0), "leaky_relu": np.sqrt(2.0 / (1 + 0.01**2)),
+                "tanh": 5.0 / 3, "sigmoid": 1.0}[self.w_init_gain]
+        pad = self.padding if self.padding is not None else self.dilation * (self.kernel_size - 1) // 2
+        kernel = self.param("kernel", xavier_uniform_gain(gain),
+                            (self.kernel_size, x.shape[-1] // self.groups, self.features))
+        y = _conv(x, kernel, self.stride, pad, self.dilation, self.groups)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+def _wn_kernel(v, g, axis):
+    """weight-norm: kernel = g * v / ||v|| with the norm over all axes except `axis`."""
+    red = tuple(i for i in range(v.ndim) if i != axis)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=red, keepdims=True) + 1e-12)
+    shape = [1] * v.ndim
+    shape[axis] = -1
+    return v / norm * g.reshape(shape)
+
+
+def _hifigan_v_init(key, shape, dtype=jnp.float32):
+    return 0.01 * jax.random.normal(key, shape, dtype)
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized Conv1d (torch weight_norm dim=0: per-out-channel norm)."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int | None = None
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding if self.padding is not None else self.dilation * (self.kernel_size - 1) // 2
+        shape = (self.kernel_size, x.shape[-1] // self.groups, self.features)
+        v = self.param("v", _hifigan_v_init, shape)
+        g = self.param("g", lambda key, s: jnp.linalg.norm(
+            v.reshape(-1, self.features), axis=0), (self.features,))
+        kernel = _wn_kernel(v, g, axis=2)
+        y = _conv(x, kernel, self.stride, pad, self.dilation, self.groups)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed Conv1d, torch semantics: out_len = (T−1)·stride − 2·padding + kernel."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # param layout (k, out, in) to mirror torch's (in, out, k)
+        shape = (self.kernel_size, self.features, x.shape[-1])
+        scale = 1.0 / np.sqrt(x.shape[-1] * self.kernel_size)
+        v = self.param("kernel", lambda k, s: jax.random.uniform(k, s, minval=-scale, maxval=scale), shape)
+        y = _conv_transpose(x, v, self.stride, self.padding)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalized transposed conv (torch weight_norm dim=0 = per-*input*-channel)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        shape = (self.kernel_size, self.features, in_ch)  # (k, out, in)
+        v = self.param("v", _hifigan_v_init, shape)
+        g = self.param("g", lambda key, s: jnp.sqrt(jnp.sum(v * v, axis=(0, 1))), (in_ch,))
+        kernel = _wn_kernel(v, g, axis=2)  # norm per input channel (torch dim=0 on (in,out,k))
+        y = _conv_transpose(x, kernel, self.stride, self.padding)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+# -- torch import helpers (parity tests) ----------------------------------------------
+
+
+def conv1d_kernel_from_torch(w):
+    """torch Conv1d weight (out, in, k) → (k, in, out)."""
+    return jnp.asarray(np.transpose(w.numpy(), (2, 1, 0)))
+
+
+def conv_transpose1d_kernel_from_torch(w):
+    """torch ConvTranspose1d weight (in, out, k) → (k, out, in)."""
+    return jnp.asarray(np.transpose(w.numpy(), (2, 1, 0)))
