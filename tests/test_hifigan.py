@@ -1,0 +1,98 @@
+"""HiFi-GAN shape/compile/loss tests (SURVEY.md §4, layer 2: model-shape + jit tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ttscube_tpu.models.hifigan import (
+    Generator,
+    HifiganConfig,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def gen_and_params():
+    g = Generator(HifiganConfig())
+    params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 80)))
+    return g, params
+
+
+def test_generator_upsamples_240x(gen_and_params):
+    g, params = gen_and_params
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 50, 80))
+    audio = g.apply(params, mel)
+    assert audio.shape == (2, 50 * 240)
+    assert np.abs(np.asarray(audio)).max() <= 1.0  # tanh output
+
+
+def test_generator_jit_compiles(gen_and_params):
+    g, params = gen_and_params
+    f = jax.jit(g.apply)
+    out = f(params, jnp.zeros((1, 20, 80)))
+    assert out.shape == (1, 4800)
+
+
+def test_generator_param_count_matches_hifigan_v1(gen_and_params):
+    # HiFi-GAN v1 generator is ~13.9M params (published); config here uses k=[16,16,4,4]
+    _, params = gen_and_params
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 13_000_000 < n < 15_000_000, n
+
+
+def test_mpd_shapes():
+    mpd = MultiPeriodDiscriminator()
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 12000))
+    params = mpd.init(jax.random.PRNGKey(0), y, y)
+    rs, gs, fr, fg = mpd.apply(params, y, y * 0.5)
+    assert len(rs) == len(gs) == 5
+    assert len(fr[0]) == 6  # 5 convs + post
+    # identical inputs → identical outputs per branch
+    rs2, gs2, _, _ = mpd.apply(params, y, y)
+    np.testing.assert_allclose(np.asarray(rs2[0]), np.asarray(gs2[0]), atol=1e-6)
+
+
+def test_msd_shapes_and_spectral_update():
+    msd = MultiScaleDiscriminator()
+    y = jax.random.normal(jax.random.PRNGKey(3), (2, 12000))
+    variables = msd.init(jax.random.PRNGKey(0), y, y)
+    assert "spectral" in variables
+    (rs, gs, fr, fg), new_state = msd.apply(
+        variables, y, y * 0.3, update_stats=True, mutable=["spectral"]
+    )
+    assert len(rs) == 3 and len(fr[0]) == 8
+    # power-iteration vector must move
+    u0 = jax.tree.leaves(variables["spectral"])[0]
+    u1 = jax.tree.leaves(new_state["spectral"])[0]
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
+
+
+def test_gan_losses_semantics():
+    # perfect discriminator on real (1) and fake (0) → zero d-loss
+    real = [jnp.ones((2, 10))]
+    fake = [jnp.zeros((2, 10))]
+    assert float(discriminator_loss(real, fake)) == 0.0
+    assert float(generator_loss([jnp.ones((2, 10))])) == 0.0
+    assert float(generator_loss([jnp.zeros((2, 10))])) == 1.0
+    fa = [[jnp.ones((2, 4))], [jnp.zeros((2, 4))]]
+    fb = [[jnp.zeros((2, 4))], [jnp.zeros((2, 4))]]
+    assert float(feature_loss(fa, fb)) == 2.0  # 2 * (1 + 0)
+
+
+def test_generator_grads_flow(gen_and_params):
+    g, params = gen_and_params
+    mel = jax.random.normal(jax.random.PRNGKey(4), (1, 12, 80))
+
+    def loss(p):
+        return jnp.mean(g.apply(p, mel) ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat)

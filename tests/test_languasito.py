@@ -1,0 +1,83 @@
+"""Languasito2 shape/jit/loss tests (reference cube/networks/modules.py:805-1095)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ttscube_tpu.models.languasito import (
+    Languasito2,
+    LanguasitoConfig,
+    languasito_losses,
+)
+from ttscube_tpu.ops.length_regulator import durations_to_frame2phone_np
+
+
+def make_batch(B=2, N=12, F=40, cond=False, key=0):
+    rng = np.random.default_rng(key)
+    x_char = np.zeros((B, N), np.int32)
+    n_valid = np.array([N, N - 4])
+    durs = np.zeros((B, N), np.int32)
+    for b in range(B):
+        x_char[b, : n_valid[b]] = rng.integers(1, 30, n_valid[b])
+        durs[b, : n_valid[b]] = rng.integers(1, 4, n_valid[b])
+    f2p, fmask = durations_to_frame2phone_np(durs, n_valid, F)
+    pitch = (rng.uniform(80, 300, (B, F)) * np.asarray(fmask)).astype(np.float32)
+    X = {
+        "x_char": jnp.asarray(x_char),
+        "x_speaker": jnp.asarray(rng.integers(1, 3, (B, 1))),
+        "y_frame2phone": f2p,
+        "y_frame_mask": fmask,
+        "y_pitch": jnp.asarray(pitch),
+        "y_dur": jnp.asarray(durs),
+    }
+    if cond:
+        X["x_words"] = jnp.asarray(rng.standard_normal((B, 6, 300)).astype(np.float32))
+        X["x_phon2word"] = jnp.asarray(rng.integers(0, 6, (B, N)))
+    return X
+
+
+@pytest.mark.parametrize("cond", [False, True])
+def test_forward_shapes(cond):
+    cfg = LanguasitoConfig(num_phones=40, num_speakers=4, max_pitch=400, max_duration=100,
+                           cond_type="fasttext" if cond else None)
+    model = Languasito2(cfg)
+    X = make_batch(cond=cond)
+    params = model.init(jax.random.PRNGKey(0), X)
+    dur_logits, pitch, vuv, c = model.apply(params, X)
+    assert dur_logits.shape == (2, 12, 101)
+    assert pitch.shape == (2, 40) and vuv.shape == (2, 40)
+    assert c.shape == (2, 40, 80)
+    assert np.all(np.asarray(pitch) >= 0) and np.all(np.asarray(pitch) <= 1)
+
+
+def test_inference_static_shapes_jit():
+    cfg = LanguasitoConfig(num_phones=40, num_speakers=4, max_pitch=400, max_duration=100)
+    model = Languasito2(cfg)
+    X = make_batch()
+    params = model.init(jax.random.PRNGKey(0), X)
+
+    Xi = {k: v for k, v in X.items() if k.startswith("x_")}
+    infer = jax.jit(lambda p, x: model.apply(p, x, max_frames=64, method=Languasito2.infer))
+    cond, aux = infer(params, Xi)
+    assert cond.shape == (2, 64, 80)
+    assert aux["durations"].shape == (2, 12)
+    # padded phones must have zero predicted duration
+    assert np.all(np.asarray(aux["durations"])[1, 8:] == 0)
+    # pitch masked by binary vuv
+    p = np.asarray(aux["pitch"])
+    v = np.asarray(aux["vuv"])
+    assert np.all(p[v == 0] == 0)
+
+
+def test_losses_finite_and_masked():
+    cfg = LanguasitoConfig(num_phones=40, num_speakers=4, max_pitch=400, max_duration=100)
+    model = Languasito2(cfg)
+    X = make_batch()
+    params = model.init(jax.random.PRNGKey(0), X)
+    dur_logits, pitch, vuv, _ = model.apply(params, X)
+    ld, lp = languasito_losses(dur_logits, pitch, vuv, X, cfg.max_pitch)
+    assert np.isfinite(float(ld)) and np.isfinite(float(lp))
+    # CE over ~101 classes at init ≈ log(101)
+    assert 3.0 < float(ld) < 7.0

@@ -1,0 +1,67 @@
+"""Textcoder tests: teacher-forced pass, losses, AR inference param remap."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ttscube_tpu.models.textcoder import (
+    CubenetTextcoder,
+    TextcoderConfig,
+    TextcoderInfer,
+    textcoder_infer_params,
+    textcoder_losses,
+)
+from ttscube_tpu.ops.length_regulator import durations_to_frame2phone_np
+
+CFG = TextcoderConfig(num_phones=30, num_speakers=3, max_pitch=300, max_duration=50,
+                      pframes=3)
+
+
+def toy_batch(B=2, N=10, F=30, key=0):
+    rng = np.random.default_rng(key)
+    x_char = np.zeros((B, N), np.int32)
+    durs = np.zeros((B, N), np.int32)
+    n_valid = np.array([N, N - 3])
+    for b in range(B):
+        x_char[b, : n_valid[b]] = rng.integers(1, 30, n_valid[b])
+        durs[b, : n_valid[b]] = rng.integers(2, 4, n_valid[b])
+    f2p, fmask = durations_to_frame2phone_np(durs, n_valid, F)
+    return {
+        "x_char": jnp.asarray(x_char),
+        "x_speaker": jnp.asarray(rng.integers(1, 3, (B, 1))),
+        "y_frame2phone": f2p,
+        "y_frame_mask": fmask,
+        "y_dur": jnp.asarray(durs),
+        "y_pitch": jnp.asarray((rng.uniform(80, 290, (B, F)) * np.asarray(fmask)).astype(np.float32)),
+        "y_mgc": jnp.asarray(rng.standard_normal((B, F, 80)).astype(np.float32) - 2.0),
+    }
+
+
+def test_forward_and_losses():
+    model = CubenetTextcoder(CFG)
+    X = toy_batch()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, X)
+    (dur_l, pitch_l, mel_pre, mel_post), new_state = model.apply(
+        variables, X, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)})
+    assert dur_l.shape == (2, 10, 51)
+    assert pitch_l.shape == (2, 10, 301)  # F//pframes = 10 decoder groups
+    assert mel_pre.shape == (2, 30, 80) and mel_post.shape == (2, 30, 80)
+    losses = textcoder_losses((dur_l, pitch_l, mel_pre, mel_post), X, CFG)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_inference_remap_and_shapes():
+    model = CubenetTextcoder(CFG)
+    X = toy_batch()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, X)
+    infer = TextcoderInfer(CFG, max_frames=36)
+    iv = textcoder_infer_params(variables)
+    Xi = {k: v for k, v in X.items() if k.startswith("x_")}
+    mel, fmask = infer.apply(iv, Xi, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert mel.shape == (2, 36, 80)
+    assert fmask.shape == (2, 36)

@@ -1,0 +1,165 @@
+"""Disk datasets (host-side, numpy).
+
+Reference: CubeganDataset (``io_cubegan.py:24-108``), PhonemizerDataset
+(``io_phonemizer.py:11-19``), VocoderDataset with on-disk feature cache
+(``io_vocoder.py:16-84``). No torch DataLoader — batching is plain Python + the pure
+collates in ``collate.py`` (a simple shuffled batch iterator is provided).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from os import listdir
+from os.path import isfile, join
+
+import numpy as np
+
+from ttscube_tpu.data.text import SimpleTokenizer
+from ttscube_tpu.utils.wavio import read_wav
+
+MAX_PHONE_FRAMES = 400  # drop utterances with any phone longer than this (io_cubegan.py:44-47)
+
+
+class CubeganDataset:
+    """Scans a folder of per-utterance {id}.{mgc,pitch,json,wav} artifacts."""
+
+    def __init__(self, base_path: str, hold_audio_in_ram: bool = False):
+        self._base_path = base_path
+        self._examples: list[dict] = []
+        tok = SimpleTokenizer()
+        for f in sorted(listdir(base_path)):
+            if not f.endswith(".mgc") and not f.endswith(".mgc.npy"):
+                continue
+            bpath = join(base_path, f[: f.index(".mgc")])
+            json_file = bpath + ".json"
+            if not (os.path.exists(json_file) and
+                    (os.path.exists(bpath + ".pitch") or os.path.exists(bpath + ".pitch.npy"))):
+                continue
+            example = json.load(open(json_file))
+            durs = np.zeros(len(example["phones"]))
+            for idx in example["frame2phon"]:
+                durs[idx] += 1
+            if len(durs) and durs.max() > MAX_PHONE_FRAMES:
+                continue
+            example["words_left"] = [t.word for t in tok(example.get("left_context", ""))]
+            example["words_right"] = [t.word for t in tok(example.get("right_context", ""))]
+            self._examples.append(example)
+
+    def __len__(self):
+        return len(self._examples)
+
+    @staticmethod
+    def _load_npy(base, ext):
+        if os.path.exists(f"{base}.{ext}.npy"):
+            return np.load(f"{base}.{ext}.npy")
+        return np.load(f"{base}.{ext}", allow_pickle=True)
+
+    def _make_absolute_silence(self, audio, pitch, meta):
+        """Zero audio/pitch of leading/trailing silence phones (io_cubegan.py:83-93)."""
+        f2p = meta["frame2phon"]
+        if not f2p:
+            return audio, pitch
+        max_phone = max(f2p)
+        for i, p in enumerate(f2p):
+            if p == 0 or p == max_phone:
+                audio[i * 240 : (i + 1) * 240] = 0.0
+                if i < len(pitch):
+                    pitch[i] = 0.0
+        return audio, pitch
+
+    def __getitem__(self, item: int) -> dict:
+        meta = self._examples[item]
+        base = join(self._base_path, str(meta["id"]))
+        mgc = self._load_npy(base, "mgc")
+        pitch = np.array(self._load_npy(base, "pitch"), np.float32)
+        audio, _ = read_wav(base + ".wav", target_sr=24000)
+        audio = np.array(audio, np.float32)
+        audio, pitch = self._make_absolute_silence(audio, pitch, meta)
+        return {"meta": meta, "mgc": mgc, "pitch": pitch, "audio": audio}
+
+
+class PhonemizerDataset:
+    """JSON-list dataset (io_phonemizer.py:11-19)."""
+
+    def __init__(self, filename: str):
+        self._examples = json.load(open(filename))
+
+    def __len__(self):
+        return len(self._examples)
+
+    def __getitem__(self, i):
+        return self._examples[i]
+
+
+class VocoderDataset:
+    """Wav-folder dataset with cached features and random hop-aligned crops
+    (io_vocoder.py:16-84)."""
+
+    def __init__(self, path: str, target_sample_rate: int = 24000,
+                 lowres_sample_rate: int = 2400, max_segment_size: int = -1,
+                 random_start: bool = True, hop_size: int = 240,
+                 cache_dir: str = "data/cache"):
+        from ttscube_tpu.dsp.mel import MelSpec, feature_mel_config
+        import jax
+
+        self._sr = target_sample_rate
+        self._sr_low = lowres_sample_rate
+        self._max_segment = max_segment_size
+        self._random_start = random_start
+        self._hop = hop_size
+        self._cache = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        self._mel = jax.jit(MelSpec(feature_mel_config(target_sample_rate,
+                                                       hop_length=hop_size)))
+        self._examples = [join(path, f) for f in sorted(listdir(path))
+                          if isfile(join(path, f)) and f.endswith(".wav")
+                          and os.stat(join(path, f)).st_size > max(4096, max_segment_size * 2)]
+
+    def __len__(self):
+        return len(self._examples)
+
+    def __getitem__(self, item):
+        from ttscube_tpu.utils.wavio import resample
+
+        filename = self._examples[item]
+        cache = join(self._cache, filename.replace("/", "_").replace("\\", "_"))
+        if os.path.exists(cache + ".mgc.npy"):
+            mel = np.load(cache + ".mgc.npy")
+            wav = np.load(cache + ".audio.npy")
+            wav_low = np.load(cache + ".audio_low.npy")
+        else:
+            wav, _ = read_wav(filename, target_sr=self._sr)
+            peak = np.max(np.abs(wav)) or 1.0
+            wav = wav / peak * 0.98
+            wav_low = resample(wav, self._sr, self._sr_low)
+            mel = np.asarray(self._mel(wav))
+            np.save(cache + ".mgc", mel)
+            np.save(cache + ".audio", wav)
+            np.save(cache + ".audio_low", wav_low)
+        if self._max_segment == -1 or len(wav) < self._max_segment or not self._random_start:
+            if not self._random_start and self._max_segment != -1 and len(wav) > self._max_segment:
+                hs = self._sr // self._sr_low
+                return (wav[: self._max_segment], wav_low[: self._max_segment // hs],
+                        mel[: self._max_segment // self._hop + 1])
+            return wav, wav_low, mel
+        start = random.randint(0, len(wav) - self._max_segment - 1)
+        start = start // self._hop * self._hop
+        hs = self._sr // self._sr_low
+        stop = start + self._max_segment
+        return (wav[start:stop], wav_low[start // hs : start // hs + self._max_segment // hs],
+                mel[start // self._hop : stop // self._hop + 1])
+
+
+def batch_iterator(dataset, batch_size: int, collate, shuffle: bool = True, seed: int = 0,
+                   drop_last: bool = False):
+    """Minimal epoch iterator over (dataset, collate) — the torch DataLoader replacement."""
+    order = list(range(len(dataset)))
+    if shuffle:
+        random.Random(seed).shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i : i + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        yield collate([dataset[j] for j in idx])

@@ -19,7 +19,7 @@ def mulaw_decode(codes, quantization_channels: int = 256):
     """int codes (or continuous μ-law in [-1,1]) → float waveform."""
     mu = float(quantization_channels - 1)
     x = codes.astype(jnp.float32) / mu * 2.0 - 1.0
-    return jnp.sign(x) * (jnp.exp(jnp.abs(x) * jnp.log1p(mu)) - 1.0) / mu
+    return jnp.clip(jnp.sign(x) * (jnp.exp(jnp.abs(x) * jnp.log1p(mu)) - 1.0) / mu, -1.0, 1.0)
 
 
 def raw_encode(x, quantization_channels: int = 256):

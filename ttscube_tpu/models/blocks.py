@@ -1,0 +1,100 @@
+"""Shared NN blocks (reference ``cube/networks/modules.py:24-389``): additive attention,
+PreNet/PostNet, GST-style Mel2Style. TPU notes: attention is batched matmuls with an
+optional span mask (replaces the reference's per-step host re-slicing of encoder spans,
+``phonemizer.py:106-122``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ttscube_tpu.ops.conv import Conv1d
+
+
+class Attention(nn.Module):
+    """Conv-projected additive attention (reference modules.py:58-88).
+
+    `mask` (B, S) bool: positions allowed to attend. Span-restricted attention (the M2M
+    phonemizer's per-word windows) passes a mask instead of materializing the span.
+    """
+
+    att_proj_size: int = 100
+    dropout_prob: float = 0.1
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, encoder_outputs: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        B, S, E = encoder_outputs.shape
+        h = jnp.broadcast_to(hidden[:, None, :], (B, S, hidden.shape[-1]))
+        x = jnp.concatenate([h, encoder_outputs], axis=-1)
+        energy = jnp.tanh(Conv1d(self.att_proj_size, self.kernel_size,
+                                 w_init_gain="tanh", name="attn")(x))
+        if not deterministic:
+            energy = nn.Dropout(self.dropout_prob)(energy, deterministic=False)
+        v = self.param("v", nn.initializers.uniform(1.0), (self.att_proj_size,))
+        scores = jnp.einsum("bsp,p->bs", energy, v)
+        if mask is not None:
+            scores = jnp.where(mask, scores, -1e9)
+        attention = jax.nn.softmax(scores, axis=-1)
+        weighted = jnp.einsum("bs,bse->be", attention, encoder_outputs)
+        return attention, weighted
+
+
+class PreNet(nn.Module):
+    """2×(Linear+ReLU+Dropout-always-on) (reference modules.py:148-164 — dropout stays
+    active at inference, intentionally, as in Tacotron 2)."""
+
+    sizes: tuple[int, ...] = (256, 256)
+
+    @nn.compact
+    def __call__(self, x, rng=None):
+        for i, s in enumerate(self.sizes):
+            x = nn.relu(nn.Dense(s, use_bias=False, name=f"fc_{i}",
+                                 kernel_init=nn.initializers.xavier_uniform())(x))
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 0.5, x.shape)
+                x = jnp.where(keep, x / 0.5, 0.0)
+        return x
+
+
+class PostNet(nn.Module):
+    """5×Conv(512,k5)+BN+tanh residual refiner (reference modules.py:117-145)."""
+
+    n_mel_channels: int = 80
+    embedding_dim: int = 512
+    kernel_size: int = 5
+    n_convolutions: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_convolutions - 1):
+            x = Conv1d(self.embedding_dim, self.kernel_size, w_init_gain="tanh",
+                       name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(x)
+            x = jnp.tanh(x)
+        x = Conv1d(self.n_mel_channels, self.kernel_size, w_init_gain="linear",
+                   name=f"conv_{self.n_convolutions - 1}")(x)
+        x = nn.BatchNorm(use_running_average=not train, name=f"bn_{self.n_convolutions - 1}")(x)
+        return x
+
+
+class Mel2Style(nn.Module):
+    """GST-style attention over learned style tokens (reference modules.py:167-205)."""
+
+    num_mgc: int = 80
+    gst_dim: int = 100
+    num_gst: int = 8
+
+    @nn.compact
+    def __call__(self, mel):
+        # mel: (B, T, num_mgc) → utterance embedding via mean → attention over tokens
+        tokens = self.param("gst", nn.initializers.normal(0.5), (self.num_gst, self.gst_dim))
+        h = nn.tanh(nn.Dense(self.gst_dim, name="ref")(jnp.mean(mel, axis=1)))
+        scores = h @ tokens.T / jnp.sqrt(float(self.gst_dim))
+        att = jax.nn.softmax(scores, axis=-1)
+        return att, att @ tokens

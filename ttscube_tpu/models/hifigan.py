@@ -1,0 +1,241 @@
+"""HiFi-GAN v1 in JAX/flax — generator + MPD/MSD discriminators + GAN losses.
+
+The reference consumes these from the ``hifigan`` git submodule (imported at
+``cube/networks/cubegan.py:18-21``, configured by ``examples/hifigan/config_v1.json``);
+here they are in-repo, NWC layout, with the architecture from Kong et al. 2020
+(https://arxiv.org/abs/2010.05646).
+
+TPU notes: the generator is a pure conv stack — XLA maps the (transposed) convs onto the
+MXU and fuses the LeakyReLU epilogues; inference over a batch of utterances is one fused
+program. Discriminator reshape tricks (period folding) are pure reshapes/pads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ttscube_tpu.ops.conv import SNConv1d, WNConv1d, WNConv2d, WNConvTranspose1d
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class HifiganConfig:
+    """Mirror of examples/hifigan/config_v1.json (reference cubegan.py:41-42)."""
+
+    resblock: str = "1"
+    upsample_rates: tuple[int, ...] = (5, 3, 4, 4)
+    upsample_kernel_sizes: tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 24000
+
+    @property
+    def total_upsample(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block, resblock='1': two convs per dilation, residual after each pair."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            h = nn.leaky_relu(x, LRELU_SLOPE)
+            h = WNConv1d(self.channels, self.kernel_size, dilation=d)(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            h = WNConv1d(self.channels, self.kernel_size, dilation=1)(h)
+            x = x + h
+        return x
+
+
+class ResBlock2(nn.Module):
+    """resblock='2': single conv per dilation."""
+
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            h = nn.leaky_relu(x, LRELU_SLOPE)
+            h = WNConv1d(self.channels, self.kernel_size, dilation=d)(h)
+            x = x + h
+        return x
+
+
+class Generator(nn.Module):
+    """mel (B, frames, num_mels) → waveform (B, frames · prod(upsample_rates))."""
+
+    config: HifiganConfig = HifiganConfig()
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        res_cls = ResBlock1 if c.resblock == "1" else ResBlock2
+        x = WNConv1d(c.upsample_initial_channel, 7, padding=3, name="conv_pre")(mel)
+        ch = c.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            ch = ch // 2
+            x = WNConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"up_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)):
+                h = res_cls(ch, rk, rd, name=f"res_{i}_{j}")(x)
+                acc = h if acc is None else acc + h
+            x = acc / len(c.resblock_kernel_sizes)
+        x = nn.leaky_relu(x, 0.01)  # final activation uses the torch default slope
+        x = WNConv1d(1, 7, padding=3, name="conv_post")(x)
+        audio = jnp.tanh(x)[..., 0]
+        # The reference config ([5,3,4,4] with kernels [16,16,4,4]) yields a few samples
+        # more than frames·240 and re-truncates with min(...) at every use
+        # (cubegan.py:98-105,132-134). Trim once here → static output length.
+        return audio[:, : mel.shape[1] * c.total_upsample]
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator: fold (B, T) → (B, T/p, p, 1) and run strided 2-D convs."""
+
+    period: int
+    channels: tuple[int, ...] = (32, 128, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        p = self.period
+        B, T = x.shape
+        if T % p:
+            pad = p - (T % p)
+            x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect")
+            T = T + pad
+        h = x.reshape(B, T // p, p, 1)
+        fmap = []
+        for i, ch in enumerate(self.channels):
+            h = WNConv2d(ch, (5, 1), strides=(3, 1), padding=(2, 0), name=f"conv_{i}")(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+        h = WNConv2d(self.channels[-1], (5, 1), strides=(1, 1), padding=(2, 0),
+                     name=f"conv_{len(self.channels)}")(h)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+        h = WNConv2d(1, (3, 1), strides=(1, 1), padding=(1, 0), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(B, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (1-D grouped convs). use_spectral_norm=True for scale 0."""
+
+    use_spectral_norm: bool = False
+    width: int = 128  # base channel width; 128 = reference size
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_stats: bool = False):
+        h = x[:, :, None]  # (B, T, 1)
+        fmap = []
+        w = self.width
+        layers = [
+            dict(features=w, kernel_size=15, stride=1, padding=7, groups=1),
+            dict(features=w, kernel_size=41, stride=2, padding=20, groups=4),
+            dict(features=2 * w, kernel_size=41, stride=2, padding=20, groups=16),
+            dict(features=4 * w, kernel_size=41, stride=4, padding=20, groups=16),
+            dict(features=8 * w, kernel_size=41, stride=4, padding=20, groups=16),
+            dict(features=8 * w, kernel_size=41, stride=1, padding=20, groups=16),
+            dict(features=8 * w, kernel_size=5, stride=1, padding=2, groups=1),
+        ]
+        in_ch = 1
+        for kw in layers:  # shrunk test widths: clamp groups to divide the channels
+            kw["groups"] = math.gcd(kw["groups"], math.gcd(in_ch, kw["features"]))
+            in_ch = kw["features"]
+        for i, kw in enumerate(layers):
+            if self.use_spectral_norm:
+                h = SNConv1d(**kw, name=f"conv_{i}")(h, update_stats=update_stats)
+            else:
+                h = WNConv1d(**kw, name=f"conv_{i}")(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+        if self.use_spectral_norm:
+            h = SNConv1d(features=1, kernel_size=3, padding=1, name="conv_post")(h, update_stats=update_stats)
+        else:
+            h = WNConv1d(features=1, kernel_size=3, padding=1, name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: tuple[int, ...] = (2, 3, 5, 7, 11)
+    channels: tuple[int, ...] = (32, 128, 512, 1024)
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        rs, gs, fmap_rs, fmap_gs = [], [], [], []
+        for p in self.periods:
+            d = DiscriminatorP(p, channels=self.channels, name=f"p{p}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            rs.append(r); gs.append(g); fmap_rs.append(fr); fmap_gs.append(fg)
+        return rs, gs, fmap_rs, fmap_gs
+
+
+class MultiScaleDiscriminator(nn.Module):
+    width: int = 128
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_stats: bool = False):
+        def avgpool42(x):
+            # torch AvgPool1d(4, stride=2, padding=2) with count_include_pad=True
+            xp = jnp.pad(x, ((0, 0), (2, 2)))
+            n = (xp.shape[1] - 4) // 2 + 1
+            idx = jnp.arange(n) * 2
+            win = xp[:, idx[:, None] + jnp.arange(4)[None, :]]
+            return win.mean(axis=-1)
+
+        rs, gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            d = DiscriminatorS(use_spectral_norm=(i == 0), width=self.width, name=f"s{i}")
+            r, fr = d(y, update_stats=update_stats) if i == 0 else d(y)
+            g, fg = d(y_hat, update_stats=False) if i == 0 else d(y_hat)
+            rs.append(r); gs.append(g); fmap_rs.append(fr); fmap_gs.append(fg)
+            y = avgpool42(y)
+            y_hat = avgpool42(y_hat)
+        return rs, gs, fmap_rs, fmap_gs
+
+
+# -- GAN losses (reference hifigan submodule models.py, used at cubegan.py:143-171) ----
+
+
+def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for r, g in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(r - g))
+    return loss * 2.0
+
+
+def discriminator_loss(disc_real, disc_generated):
+    loss = 0.0
+    for dr, dg in zip(disc_real, disc_generated):
+        loss += jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg**2)
+    return loss
+
+
+def generator_loss(disc_generated) -> jnp.ndarray:
+    loss = 0.0
+    for dg in disc_generated:
+        loss += jnp.mean((1.0 - dg) ** 2)
+    return loss

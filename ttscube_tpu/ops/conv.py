@@ -163,6 +163,70 @@ class WNConvTranspose1d(nn.Module):
         return y
 
 
+class WNConv2d(nn.Module):
+    """Weight-normalized Conv2d in NHWC (for the HiFi-GAN period discriminators)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        shape = (kh, kw, x.shape[-1], self.features)
+        v = self.param("v", _hifigan_v_init, shape)
+        g = self.param("g", lambda key, s: jnp.linalg.norm(
+            v.reshape(-1, self.features), axis=0), (self.features,))
+        kernel = _wn_kernel(v, g, axis=3)
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=self.strides,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class SNConv1d(nn.Module):
+    """Spectral-normalized Conv1d (torch ``spectral_norm`` semantics: one power iteration
+    per training step, u vector kept in the mutable "spectral" collection)."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int | None = None
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        pad = self.padding if self.padding is not None else (self.kernel_size - 1) // 2
+        shape = (self.kernel_size, x.shape[-1] // self.groups, self.features)
+        scale = 1.0 / np.sqrt(x.shape[-1] // self.groups * self.kernel_size)
+        w = self.param("kernel", lambda k, s: jax.random.uniform(k, s, minval=-scale, maxval=scale), shape)
+        # torch reshapes (out, in, k) → (out, in*k); rows=out
+        wmat = jnp.transpose(w, (2, 1, 0)).reshape(self.features, -1)
+        u_var = self.variable("spectral", "u",
+                              lambda: jax.random.normal(jax.random.PRNGKey(0), (self.features,)))
+        u = u_var.value
+        v = wmat.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_new = wmat @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+        if update_stats and not self.is_initializing():
+            u_var.value = jax.lax.stop_gradient(u_new)
+        sigma = jnp.dot(jax.lax.stop_gradient(u_new), wmat @ jax.lax.stop_gradient(v))
+        y = _conv(x, w / sigma, self.stride, pad, 1, self.groups)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
 # -- torch import helpers (parity tests) ----------------------------------------------
 
 

@@ -13,6 +13,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def durations_to_frame2phone_np(durations: np.ndarray, num_valid_phones: np.ndarray,
+                                max_frames: int):
+    """Host (numpy) twin of `durations_to_frame2phone` for collates/tests — avoids any
+    device compile for data-plane work."""
+    ends = np.cumsum(durations, axis=1)
+    frames = np.arange(max_frames)
+    f2p = np.sum(frames[None, :, None] >= ends[:, None, :], axis=-1).astype(np.int32)
+    total = ends[:, -1]
+    last_valid = np.maximum(num_valid_phones - 1, 0)
+    f2p = np.minimum(f2p, last_valid[:, None])
+    mask = frames[None, :] < total[:, None]
+    return f2p, mask
 
 
 def durations_to_frame2phone(durations: jnp.ndarray, num_valid_phones: jnp.ndarray,
@@ -24,11 +39,10 @@ def durations_to_frame2phone(durations: jnp.ndarray, num_valid_phones: jnp.ndarr
     """
     ends = jnp.cumsum(durations, axis=1)  # (B, N)
     frames = jnp.arange(max_frames)
-
-    def per_row(e):
-        return jnp.searchsorted(e, frames, side="right")
-
-    f2p = jax.vmap(per_row)(ends)  # (B, F) in [0, N]
+    # frame f belongs to phone p ⇔ ends[p−1] ≤ f < ends[p]; computed as a comparison-sum
+    # (equivalent to searchsorted side='right' but a plain VPU reduction — XLA's
+    # sort-based searchsorted lowering compiles poorly on TPU and is slower here).
+    f2p = jnp.sum(frames[None, :, None] >= ends[:, None, :], axis=-1).astype(jnp.int32)
     total = ends[:, -1]  # total frames per row
     last_valid = jnp.maximum(num_valid_phones - 1, 0)
     f2p = jnp.minimum(f2p, last_valid[:, None])
