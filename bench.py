@@ -1,0 +1,83 @@
+"""Benchmark harness: end-to-end synthesis throughput (xRT) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >= 200x real-time 24 kHz synthesis per v5e chip.
+vs_baseline = measured_xRT / 200.
+
+Workload: batched free synthesis through the full flagship stack — Languasito2 text
+tower (durations) -> length regulation -> pitch -> GAN tower conditioning -> full-size
+HiFi-GAN v1 generator -> 24 kHz waveform (reference call stack SURVEY.md §3.1).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ttscube_tpu.models.cubegan import Cubegan, CubeganConfig
+    from ttscube_tpu.models.languasito import LanguasitoConfig
+
+    B, N, MAX_FRAMES = 8, 64, 512  # 8 utterances x 5.12 s
+    cfg = CubeganConfig(
+        languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
+                                    max_duration=100))
+    model = Cubegan(cfg, train=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x_char": jnp.asarray(rng.integers(1, 64, (B, N)).astype(np.int32)),
+        "x_speaker": jnp.asarray(rng.integers(1, 8, (B, 1)).astype(np.int32)),
+    }
+
+    def init(rng_key):
+        variables = model.languasito.init(rng_key, {
+            "x_char": batch["x_char"], "x_speaker": batch["x_speaker"],
+            "y_frame2phone": jnp.zeros((B, MAX_FRAMES), jnp.int32),
+            "y_pitch": jnp.zeros((B, MAX_FRAMES), jnp.float32),
+        })
+        gen = model.generator.init(jax.random.fold_in(rng_key, 1),
+                                   jnp.zeros((1, 8, 80)))
+        return {"lang": variables["params"], "gen": gen["params"]}
+
+    params = jax.jit(init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    # NOTE: through the remote-TPU relay, block_until_ready is not a reliable barrier —
+    # timing must fetch a scalar reduction of the output to the host. Inputs vary per
+    # call so nothing can be cached.
+    @jax.jit
+    def infer_sum(p, xc, xs):
+        audio, _ = model.infer(p, {"x_char": xc, "x_speaker": xs},
+                               max_frames=MAX_FRAMES)
+        return jnp.abs(audio).mean()
+
+    iters = 10
+    char_batches = [jnp.asarray(rng.integers(1, 64, (B, N)).astype(np.int32))
+                    for _ in range(iters + 1)]
+    float(infer_sum(params, char_batches[0], batch["x_speaker"]))  # warm up
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        s = infer_sum(params, char_batches[i + 1], batch["x_speaker"])
+        float(s)  # host fetch = true completion barrier
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+
+    audio_seconds = B * MAX_FRAMES * cfg.hop_size / cfg.sample_rate
+    xrt = audio_seconds / wall
+    print(json.dumps({
+        "metric": "e2e_synthesis_xRT",
+        "value": round(xrt, 1),
+        "unit": "audio_sec/wall_sec/chip",
+        "vs_baseline": round(xrt / 200.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
