@@ -1,0 +1,113 @@
+"""Cubegan trainer CLI (reference ``scripts/train_cubegan.py``).
+
+Same flags/artifacts: dumps `{base}.yaml` + `{base}.encodings`, saves
+`{base}.{best,last,opt.last}` per epoch, synthesizes the devset every N epochs, resumes
+full state with `--resume`. TPU-native: one jitted GAN step, optional device mesh via
+`--mesh-data/--mesh-model`.
+"""
+
+import os
+import sys
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _train(args):
+    import jax
+
+    from ttscube_tpu.data.collate import CubeganCollate
+    from ttscube_tpu.data.datasets import CubeganDataset
+    from ttscube_tpu.data.encodings import CubeganEncodings
+    from ttscube_tpu.models.cubegan import (
+        Cubegan, CubeganConfig, create_train_state, train_step, val_step)
+    from ttscube_tpu.models.languasito import LanguasitoConfig
+    from ttscube_tpu.train.loop import train
+    from ttscube_tpu.train.runtime import cubegan_synthesize_dataset
+    from ttscube_tpu.utils.checkpoint import save_config
+
+    config = {"sample_rate": args.sample_rate, "hop_size": args.hop_size,
+              "conditioning": args.lm}
+    save_config(args.output_base, config)
+    sys.stdout.write("=================Config=================\n")
+    sys.stdout.write(open(args.output_base + ".yaml").read())
+    sys.stdout.write("========================================\n\n")
+
+    trainset = CubeganDataset(args.train_folder)
+    devset = CubeganDataset(args.dev_folder)
+    sys.stdout.write(f"train={len(trainset)} dev={len(devset)} examples\n")
+
+    enc_path = args.output_base + ".encodings"
+    encodings = CubeganEncodings()
+    if os.path.exists(enc_path) and args.resume:
+        encodings.load(enc_path)
+    else:
+        encodings.compute(trainset)
+        encodings.save(enc_path)
+
+    cond_type = args.lm.split(":")[0] if args.lm else None
+    cfg = CubeganConfig(
+        languasito=LanguasitoConfig(
+            num_phones=len(encodings.phon2int),
+            num_speakers=len(encodings.speaker2int),
+            max_pitch=encodings.max_pitch,
+            max_duration=encodings.max_duration,
+            cond_type=cond_type),
+        lr=args.lr,
+        sample_rate=args.sample_rate,
+        hop_size=args.hop_size,
+    )
+    model = Cubegan(cfg)
+    collate = CubeganCollate(encodings, hop=args.hop_size)
+
+    example = collate([trainset[0]])
+    import jax.numpy as jnp
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+
+    if args.mesh_data * args.mesh_model > 1:
+        from ttscube_tpu.parallel.mesh import make_mesh, make_parallel_train_step
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+        step = make_parallel_train_step(model, mesh, train_step)
+    else:
+        step = jax.jit(lambda s, b, r: train_step(model, s, b, r))
+    vstep = jax.jit(lambda s, b, r: val_step(model, s, b, r))
+
+    def on_epoch_end(epoch, st):
+        out = "generated_files/free/"
+        os.makedirs(out, exist_ok=True)
+        infer_params = {"lang": st.params["lang"], "gen": st.params["gen"]}
+        cubegan_synthesize_dataset(model, infer_params, devset, collate, out,
+                                   limit=args.generation_limit)
+
+    train(state=state, train_step=step, val_step=vstep,
+          trainset=trainset, devset=devset, collate=collate,
+          batch_size=args.batch_size, output_base=args.output_base,
+          selection_metric="loss_mel", max_epochs=args.max_epochs,
+          max_steps=args.max_steps, resume=args.resume,
+          on_epoch_end=on_epoch_end if args.epoch_generation > 0 else None,
+          epoch_generation=max(args.epoch_generation, 1))
+
+
+if __name__ == "__main__":
+    parser = ArgumentParser(description="ttscube_tpu Cubegan trainer")
+    parser.add_argument("--output-base", dest="output_base", default="data/cubegan")
+    parser.add_argument("--batch-size", dest="batch_size", type=int, default=16)
+    parser.add_argument("--train-folder", dest="train_folder",
+                        default="data/processed/train")
+    parser.add_argument("--dev-folder", dest="dev_folder", default="data/processed/dev")
+    parser.add_argument("--sample-rate", dest="sample_rate", type=int, default=24000)
+    parser.add_argument("--hop-size", dest="hop_size", type=int, default=240)
+    parser.add_argument("--lr", dest="lr", type=float, default=2e-4)
+    parser.add_argument("--epoch-generation", dest="epoch_generation", type=int,
+                        default=10, help="synthesize devset every N epochs (0=never)")
+    parser.add_argument("--generation-limit", dest="generation_limit", type=int,
+                        default=-1)
+    parser.add_argument("--lm", dest="lm", default=None,
+                        help="conditioning: fasttext:<LANG> or hf:<model>")
+    parser.add_argument("--max-epochs", dest="max_epochs", type=int, default=-1)
+    parser.add_argument("--max-steps", dest="max_steps", type=int, default=-1)
+    parser.add_argument("--mesh-data", dest="mesh_data", type=int, default=1)
+    parser.add_argument("--mesh-model", dest="mesh_model", type=int, default=1)
+    parser.add_argument("--resume", dest="resume", action="store_true")
+    _train(parser.parse_args())

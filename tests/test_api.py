@@ -1,0 +1,128 @@
+"""End-to-end API tests: artifact files → TTSCube → int16 audio; export/packaging round
+trip (reference cube/api.py + scripts/export_model.py + repository.py semantics)."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from ttscube_tpu.data.encodings import CubeganEncodings, PhonemizerEncodings
+from ttscube_tpu.models.cubegan import Cubegan, CubeganConfig
+from ttscube_tpu.models.hifigan import HifiganConfig
+from ttscube_tpu.models.languasito import LanguasitoConfig
+from ttscube_tpu.models.phonemizer import Phonemizer, PhonemizerConfig
+from ttscube_tpu.utils.checkpoint import save_params
+
+TINY_HIFI_YAML = {
+    "upsample_initial_channel": 32,
+    "resblock_kernel_sizes": [3],
+    "resblock_dilation_sizes": [[1, 3]],
+}
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """Write a complete set of synthesis artifacts (cubegan + phonemizer)."""
+    base = tmp_path_factory.mktemp("artifacts")
+    # --- phonemizer ---
+    penc = PhonemizerEncodings()
+    text = "§hello world§"
+    penc.compute([{"orig_text": text, "phones": list("helo wrd_§")}])
+    penc.save(str(base / "phonemizer.encodings"))
+    pcfg = PhonemizerConfig(num_graphemes=len(penc.graphemes),
+                            num_phonemes=len(penc.phonemes))
+    pmodel = Phonemizer(pcfg)
+    pparams = pmodel.init(jax.random.PRNGKey(0),
+                          {"x_char": jnp.zeros((1, 8), jnp.int32),
+                           "x_case": jnp.zeros((1, 8), jnp.int32)})
+    save_params(str(base / "phonemizer.model"), pparams["params"])
+    save_params(str(base / "phonemizer.sacc.best"), pparams["params"])
+
+    # --- cubegan ---
+    enc = CubeganEncodings()
+    enc.phon2int = {p: i for i, p in enumerate("helo wrd_§")}
+    enc.speaker2int = {"none": 0, "neb": 1}
+    enc.max_duration = 100
+    enc.max_pitch = 400
+    enc.save(str(base / "cubegan.encodings"))
+    yaml.dump({"sample_rate": 24000, "hop_size": 240, "conditioning": None,
+               "hifigan": TINY_HIFI_YAML}, open(str(base / "cubegan.yaml"), "w"))
+    cfg = CubeganConfig(
+        languasito=LanguasitoConfig(num_phones=len(enc.phon2int),
+                                    num_speakers=len(enc.speaker2int),
+                                    max_pitch=400, max_duration=100),
+        hifigan=HifiganConfig(upsample_initial_channel=32,
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilation_sizes=((1, 3),)))
+    model = Cubegan(cfg, train=False)
+    lang = model.languasito.init(jax.random.PRNGKey(0), {
+        "x_char": jnp.zeros((1, 8), jnp.int32),
+        "x_speaker": jnp.zeros((1, 1), jnp.int32),
+        "y_frame2phone": jnp.zeros((1, 16), jnp.int32),
+        "y_pitch": jnp.zeros((1, 16), jnp.float32)})["params"]
+    gen = model.generator.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 80)))["params"]
+    save_params(str(base / "cubegan.model"), {"lang": lang, "gen": gen})
+    # also a fake .last with discriminators for the export test
+    save_params(str(base / "cubegan.last"),
+                {"lang": lang, "gen": gen, "mpd": {"dummy": jnp.zeros((2,))},
+                 "msd": {"dummy": jnp.zeros((2,))}})
+    return base
+
+
+def test_ttscube_synthesis(artifacts):
+    from ttscube_tpu.api import TTSCube
+
+    cube = TTSCube(str(artifacts / "cubegan"), str(artifacts / "phonemizer"))
+    audio = cube("hello world", speaker="neb")
+    assert audio.dtype == np.int16
+    assert audio.ndim == 1
+    # bucketed synthesis trims to total predicted frames x hop
+    assert len(audio) % 240 == 0
+    # repeated calls must reuse the cached executable for the same bucket
+    n_compiled = len(cube._infer_cache)
+    cube("hello hello", speaker="neb")
+    assert len(cube._infer_cache) >= n_compiled
+
+
+def test_export_and_reimport(artifacts, tmp_path):
+    from scripts.export_model import _export
+
+    class Args:
+        input_model = str(artifacts / "cubegan")
+        input_phonemizer = str(artifacts / "phonemizer")
+        phonemizer_weights = "sacc.best"
+        output_model = str(tmp_path / "export" / "mymodel")
+        version = "1.0.0"
+        language = "en"
+        description = "test"
+
+    os.makedirs(str(tmp_path / "export"), exist_ok=True)
+    _export(Args)
+    volumes = sorted(p for p in os.listdir(str(tmp_path / "export"))
+                     if p.startswith("mymodel-"))
+    assert volumes, "no volumes written"
+    desc = yaml.safe_load(open(str(tmp_path / "export" / "mymodel.yaml")))
+    assert desc["synthesis"] == "cubegan"
+
+    # reassemble (repository download path, minus the network)
+    target = tmp_path / "reassembled"
+    os.makedirs(str(target))
+    combined = str(target / "model.tar.gz")
+    with open(combined, "wb") as out:
+        for v in volumes:
+            out.write(open(str(tmp_path / "export" / v), "rb").read())
+    with tarfile.open(combined, "r:gz") as tar:
+        tar.extractall(str(target))
+    assert os.path.exists(str(target / "cubegan.model"))
+    assert os.path.exists(str(target / "phonemizer.encodings"))
+
+    from ttscube_tpu.api import TTSCube
+    cube = TTSCube(str(target / "cubegan"), str(target / "phonemizer"))
+    audio = cube("hello", speaker="neb")
+    assert audio.dtype == np.int16 and len(audio) > 0

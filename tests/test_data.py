@@ -36,6 +36,7 @@ def test_wav_roundtrip(tmp_path):
 def make_corpus(tmp_path, n=4):
     """Write a synthetic corpus in the reference import format
     ({id}.{wav,mgc,pitch,json}, SURVEY §3.5)."""
+    os.makedirs(str(tmp_path), exist_ok=True)
     rng = np.random.default_rng(0)
     phones = ["a", "b", "c", "d", "e"]
     for i in range(n):

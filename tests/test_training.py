@@ -1,0 +1,92 @@
+"""Training-harness integration tests: loop + checkpoints + resume on a synthetic corpus
+(SURVEY §4 layer 3 — the quick_test.py overfit idea, done properly)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_data import make_corpus
+from ttscube_tpu.data.collate import CubeganCollate, PhonemizerCollate
+from ttscube_tpu.data.datasets import CubeganDataset
+from ttscube_tpu.data.encodings import CubeganEncodings, PhonemizerEncodings
+from ttscube_tpu.models.cubegan import Cubegan, create_train_state, train_step, val_step
+from ttscube_tpu.models.phonemizer import Phonemizer, PhonemizerConfig
+from ttscube_tpu.train.loop import train
+from ttscube_tpu.train.states import (
+    create_phonemizer_state,
+    phonemizer_train_step,
+    phonemizer_val_step,
+)
+from ttscube_tpu.utils.checkpoint import load_params, load_train_state
+from tests.test_cubegan import tiny_model
+
+
+def test_cubegan_loop_checkpoints_and_resume(tmp_path):
+    make_corpus(tmp_path / "corpus", n=4)
+    ds = CubeganDataset(str(tmp_path / "corpus"))
+    enc = CubeganEncodings()
+    enc.compute(ds)
+    model = tiny_model()
+    collate = CubeganCollate(enc, min_frames=60, bucket_frames=60, bucket_phones=16)
+
+    example = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    step = jax.jit(lambda s, b, r: train_step(model, s, b, r))
+    vstep = jax.jit(lambda s, b, r: val_step(model, s, b, r))
+
+    base = str(tmp_path / "model" / "cubegan")
+    final = train(state=state, train_step=step, val_step=vstep,
+                  trainset=ds, devset=ds, collate=collate, batch_size=2,
+                  output_base=base, selection_metric="loss_mel",
+                  max_epochs=2, log_every=1)
+    assert os.path.exists(base + ".best")
+    assert os.path.exists(base + ".last")
+    assert os.path.exists(base + ".opt.last")
+    assert int(jax.device_get(final.step)) == 4  # 2 epochs x 2 batches
+
+    # checkpoint round trip
+    params = load_params(base + ".last", jax.device_get(final.params))
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(jax.device_get(final.params))[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume restores full state including the global step
+    resumed = train(state=state, train_step=step, val_step=vstep,
+                    trainset=ds, devset=ds, collate=collate, batch_size=2,
+                    output_base=base, selection_metric="loss_mel",
+                    max_epochs=0, resume=True)
+    assert int(jax.device_get(resumed.step)) == 4
+
+
+def test_phonemizer_overfits_two_examples():
+    """Aligned phonemizer must overfit a 2-example dataset quickly (loss → ~0)."""
+    examples = [
+        {"orig_text": "abcd ef", "phones": ["A", "B", "C", "D", "_", "E", "F"],
+         "phon2word": [0, 0, 0, 0, 1, 2, 2], "words": ["abcd", " ", "ef"]},
+        {"orig_text": "fedb ca", "phones": ["F", "E", "D", "B", "_", "C", "A"],
+         "phon2word": [0, 0, 0, 0, 1, 2, 2], "words": ["fedb", " ", "ca"]},
+    ]
+    enc = PhonemizerEncodings()
+    enc.compute(examples)
+    model = Phonemizer(PhonemizerConfig(num_graphemes=len(enc.graphemes),
+                                        num_phonemes=len(enc.phonemes),
+                                        conv_size=64, rnn_size=32))
+    collate = PhonemizerCollate(enc, bucket=8)
+    batch = {k: jnp.asarray(v) for k, v in collate(examples).items()}
+    state = create_phonemizer_state(model, jax.random.PRNGKey(0), batch, lr=1e-2)
+    step = jax.jit(lambda s, b: phonemizer_train_step(model, s, b, lr=1e-2))
+
+    first = None
+    for i in range(60):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert last < first * 0.2, (first, last)
+
+    metrics = jax.device_get(phonemizer_val_step(model, state, batch))
+    assert float(metrics["pacc"]) > 0.9

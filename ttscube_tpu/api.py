@@ -1,0 +1,165 @@
+"""TTSCube — the public synthesis API (reference ``cube/api.py``).
+
+Usage:
+    cube = TTSCube("path/to/cubegan", "path/to/phonemizer")   # local artifacts
+    cube = TTSCube.load("blizzard2023")                        # download by name
+    audio_int16 = cube("Hello world!", speaker="neb")
+
+TPU design: synthesis is two jitted stages — (1) the text tower predicts durations and
+the total frame count comes back to the host (one small sync, same as the reference's
+duration argmax at modules.py:946); (2) the full expand→pitch→conditioning→HiFi-GAN
+graph runs at a *bucketed* static frame count, so repeated calls reuse cached
+executables per bucket instead of recompiling per utterance length.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ttscube_tpu.data.collate import CubeganCollate
+from ttscube_tpu.data.encodings import CubeganEncodings, PhonemizerEncodings
+from ttscube_tpu.data.text import Text2FeatBlizzard
+from ttscube_tpu.models.cubegan import Cubegan, CubeganConfig
+from ttscube_tpu.models.languasito import LanguasitoConfig
+from ttscube_tpu.models.phonemizer import Phonemizer, PhonemizerConfig
+from ttscube_tpu.utils.checkpoint import load_params
+from ttscube_tpu.utils.repository import download_model
+
+FRAME_BUCKET = 256
+MAX_FRAMES = 8192
+
+
+class TTSCube:
+    def __init__(self, model_path: str, phonemizer_path: str):
+        import jax
+        import jax.numpy as jnp
+
+        from ttscube_tpu.models.hifigan import HifiganConfig
+
+        encodings = CubeganEncodings(model_path + ".encodings")
+        conf = yaml.safe_load(open(model_path + ".yaml"))
+        cond_type = conf.get("conditioning")
+        cond_type = cond_type.split(":")[0] if cond_type else None
+        self.encodings = encodings
+        hifi_kwargs = {k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
+                           if isinstance(v, list) else v)
+                       for k, v in (conf.get("hifigan") or {}).items()}
+        self.config = CubeganConfig(
+            languasito=LanguasitoConfig(
+                num_phones=len(encodings.phon2int),
+                num_speakers=len(encodings.speaker2int),
+                max_pitch=encodings.max_pitch,
+                max_duration=encodings.max_duration,
+                cond_type=cond_type),
+            hifigan=HifiganConfig(**hifi_kwargs),
+            sample_rate=conf.get("sample_rate", 24000),
+            hop_size=conf.get("hop_size", 240),
+        )
+        self.model = Cubegan(self.config, train=False)
+        self.collate = CubeganCollate(encodings, hop=self.config.hop_size)
+
+        # synthesis params template {lang, gen} → load msgpack
+        template = self._init_template()
+        self.params = load_params(model_path + ".model", template)
+
+        # phonemizer frontend
+        penc = PhonemizerEncodings(phonemizer_path + ".encodings")
+        pcfg = PhonemizerConfig(num_graphemes=len(penc.graphemes),
+                                num_phonemes=len(penc.phonemes))
+        pmodel = Phonemizer(pcfg)
+        ptemplate = jax.device_get(pmodel.init(
+            jax.random.PRNGKey(0),
+            {"x_char": jnp.zeros((1, 8), jnp.int32),
+             "x_case": jnp.zeros((1, 8), jnp.int32)})["params"])
+        pparams = load_params(phonemizer_path + ".model", ptemplate)
+        self.text2feat = Text2FeatBlizzard(penc, pmodel, pparams)
+
+        self._dur_fn = jax.jit(self._durations)
+        self._infer_cache = {}
+
+    def _init_template(self):
+        import jax
+        import jax.numpy as jnp
+
+        def init(rng):
+            batch = {
+                "x_char": jnp.zeros((1, 8), jnp.int32),
+                "x_speaker": jnp.zeros((1, 1), jnp.int32),
+                "y_frame2phone": jnp.zeros((1, 16), jnp.int32),
+                "y_pitch": jnp.zeros((1, 16), jnp.float32),
+            }
+            if self.config.languasito.cond_type is not None:
+                batch["x_words"] = jnp.zeros(
+                    (1, 4, self.config.languasito.lm_input_dim), jnp.float32)
+                batch["x_phon2word"] = jnp.zeros((1, 8), jnp.int32)
+            lang = self.model.languasito.init(rng, batch)["params"]
+            gen = self.model.generator.init(jax.random.fold_in(rng, 1),
+                                            jnp.zeros((1, 4, 80)))["params"]
+            return {"lang": lang, "gen": gen}
+
+        if jax.default_backend() == "cpu":
+            return jax.device_get(init(jax.random.PRNGKey(0)))
+        return jax.device_get(jax.jit(init)(jax.random.PRNGKey(0)))
+
+    def _durations(self, params, X):
+        import jax.numpy as jnp
+
+        from ttscube_tpu.models.languasito import Languasito2
+
+        dur_logits, _, _ = self.model.languasito.apply(
+            {"params": params["lang"]}, X,
+            method=lambda m, X: m.text_forward(
+                X, frame2phone=jnp.zeros((X["x_char"].shape[0], 1), jnp.int32)))
+        durs = jnp.argmax(dur_logits, axis=-1) * (X["x_char"] != 0)
+        return durs.sum()
+
+    def _infer_at(self, max_frames: int):
+        import jax
+
+        if max_frames not in self._infer_cache:
+            self._infer_cache[max_frames] = jax.jit(
+                lambda p, x: self.model.infer(p, x, max_frames=max_frames)[0])
+        return self._infer_cache[max_frames]
+
+    @staticmethod
+    def load(model_name: str) -> "TTSCube":
+        base = os.path.join(str(Path.home()), ".ttscube", "models", model_name)
+        if not os.path.exists(os.path.join(base, "cubegan.model")):
+            os.makedirs(base, exist_ok=True)
+            download_model(base, model_name)
+        return TTSCube(os.path.join(base, "cubegan"), os.path.join(base, "phonemizer"))
+
+    def __call__(self, text: str, speaker: str = "none") -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        meta = self.text2feat(text)
+        meta["speaker"] = speaker
+        meta["frame2phon"] = [0]  # placeholder; free synthesis predicts durations
+        example = {"meta": meta, "mgc": np.zeros((8, 80), np.float32),
+                   "pitch": np.zeros((8,), np.float32)}
+        X = self.collate([example])
+        Xi = {k: jnp.asarray(v) for k, v in X.items() if k.startswith("x_")}
+
+        total = int(jax.device_get(self._dur_fn(self.params, Xi)))
+        bucket = int(np.clip(
+            ((total + FRAME_BUCKET - 1) // FRAME_BUCKET) * FRAME_BUCKET,
+            FRAME_BUCKET, MAX_FRAMES))
+        audio = self._infer_at(bucket)(self.params, Xi)
+        audio = np.asarray(jax.device_get(audio))[0]
+        audio = audio[: total * self.config.hop_size]
+        return np.asarray(np.clip(audio, -1, 1) * 32767, dtype=np.int16)
+
+
+if __name__ == "__main__":
+    import sys
+
+    from ttscube_tpu.utils.wavio import write_wav
+
+    model = TTSCube.load(sys.argv[1] if len(sys.argv) > 1 else "blizzard2023")
+    audio = model("Hello! This is a speech synthesis test.", speaker="neb")
+    write_wav("tmp.wav", audio, 24000)

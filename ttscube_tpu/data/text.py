@@ -56,12 +56,12 @@ class Text2FeatBlizzard:
     def __init__(self, encodings: PhonemizerEncodings, phonemizer, params):
         self.encodings = encodings
         self.phonemizer = phonemizer  # ttscube_tpu.models.phonemizer.Phonemizer
-        self.params = params
+        self.params = params  # bare param tree (no {"params": ...} wrapper)
         self.tokenizer = SimpleTokenizer()
         self.int2phon = [" "] * len(encodings.phonemes)
         for g, idx in encodings.phonemes.items():
             self.int2phon[idx] = g
-        self._jit_forward = jax.jit(self.phonemizer.apply)
+        self._jit_forward = jax.jit(lambda p, X: self.phonemizer.apply({"params": p}, X))
 
     def __call__(self, text: str) -> dict:
         text = text.replace("\n\n", "§").replace("\n", " ")

@@ -133,6 +133,9 @@ class Cubegan:
         loss_duration, loss_pitch = languasito_losses(
             dur_logits, pitch, vuv, batch, cfg.languasito.max_pitch)
 
+        # shorter batches use the full sequence (reference crops only when the audio
+        # exceeds the window, cubegan.py:115,217)
+        window = min(window, cond.shape[1])
         cond_w, y_w = self._crop(cond, batch["y_audio"], batch["n_frames"], rng, window)
         y_hat = self.generator.apply({"params": params["gen"]}, cond_w)
 

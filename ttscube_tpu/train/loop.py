@@ -1,0 +1,97 @@
+"""Generic training loop — the TPU replacement for the reference's pytorch_lightning
+wiring (``pl.Trainer.fit`` + PrintAndSaveCallback, train_cubegan.py:31-77,138-145).
+
+One jitted train step, one jitted val step; epochs over host-side batch iterators;
+best/last/opt.last checkpoints each epoch; periodic devset synthesis hook; resume from
+`{base}.opt.last` (full state incl. optimizer + global step). Metrics are fetched once
+per log interval with a single device_get (per-scalar fetches are slow on the relay).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ttscube_tpu.data.datasets import batch_iterator
+from ttscube_tpu.utils.checkpoint import BestKeeper, load_train_state
+
+
+def train(
+    *,
+    state,
+    train_step,                  # (state, batch, rng) -> (state, metrics)
+    val_step,                    # (state, batch, rng) -> metrics
+    trainset,
+    devset,
+    collate,
+    batch_size: int,
+    output_base: str,
+    selection_metric: str,
+    max_epochs: int = -1,
+    max_steps: int = -1,
+    log_every: int = 50,
+    seed: int = 0,
+    resume: bool = False,
+    on_epoch_end: Optional[Callable] = None,   # (epoch, state) -> None
+    epoch_generation: int = 10,
+):
+    import jax.numpy as jnp
+
+    if resume and os.path.exists(output_base + ".opt.last"):
+        sys.stdout.write(f"Resuming from {output_base}.opt.last\n")
+        state = load_train_state(output_base + ".opt.last", state)
+
+    keeper = BestKeeper(output_base, selection_metric)
+    rng = jax.random.PRNGKey(seed)
+    epoch = 0
+    global_step = int(jax.device_get(state.step))
+
+    while max_epochs == -1 or epoch < max_epochs:
+        t0 = time.time()
+        window = []
+        for batch in batch_iterator(trainset, batch_size, collate, shuffle=True,
+                                    seed=seed + epoch):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            window.append(metrics)
+            global_step += 1
+            if global_step % log_every == 0:
+                fetched = jax.device_get(window[-1])
+                msg = " ".join(f"{k}={float(v):.4f}" for k, v in sorted(fetched.items()))
+                sys.stdout.write(f"step {global_step}: {msg}\n")
+                sys.stdout.flush()
+                window = []
+            if max_steps != -1 and global_step >= max_steps:
+                break
+
+        # validation
+        val_metrics = []
+        for batch in batch_iterator(devset, batch_size, collate, shuffle=False):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            val_metrics.append(val_step(state, batch, sub))
+        if val_metrics:
+            fetched = [jax.device_get(m) for m in val_metrics]
+            avg = {k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]}
+        else:
+            avg = {selection_metric: float("inf")}
+        sys.stdout.write(f"\n\tepoch {epoch} ({time.time()-t0:.1f}s) val: " +
+                         " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())) + "\n")
+        improved = keeper.update(avg[selection_metric], state)
+        sys.stdout.write(f"\tStored {output_base}.last" +
+                         (f" + .best ({selection_metric}={avg[selection_metric]:.4f})\n"
+                          if improved else "\n"))
+        sys.stdout.flush()
+
+        if on_epoch_end is not None and epoch % epoch_generation == 0:
+            on_epoch_end(epoch, state)
+        epoch += 1
+        if max_steps != -1 and global_step >= max_steps:
+            break
+    return state

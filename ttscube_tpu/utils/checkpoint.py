@@ -1,0 +1,67 @@
+"""Checkpoint store — the reference's file-per-artifact contract, flax-serialized.
+
+Reference convention (SURVEY §5): ``{base}.yaml`` (config) + ``{base}.encodings`` (vocab
+JSON) + ``{base}.{best,last,opt.last}`` weight files written every validation epoch
+(train_cubegan.py:38-76); load with strict=False (cubegan.py:319). Here the weight files
+are flax msgpack pytrees; `.opt.last` stores {opt_state, spectral, step} so resume
+restores optimizer state + global step (fixing the reference's silent resume bug where
+`_loaded_optimizer_state` vs `_loaded_optimizer_states` dropped it, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import yaml
+from flax import serialization
+
+
+def save_params(path: str, params: Any):
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+
+def load_params(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_train_state(path: str, state):
+    """Full TrainState (params + opt + spectral + step) → one msgpack file."""
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+
+
+def load_train_state(path: str, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_config(base: str, config: dict):
+    yaml.dump(config, open(base + ".yaml", "w"))
+
+
+def load_config(base: str) -> dict:
+    return yaml.safe_load(open(base + ".yaml"))
+
+
+class BestKeeper:
+    """Tracks a minimized metric and writes `{base}.best` / `{base}.last` /
+    `{base}.opt.last` (reference PrintAndSaveCallback, train_cubegan.py:31-77)."""
+
+    def __init__(self, base: str, metric_name: str = "loss"):
+        self.base = base
+        self.metric_name = metric_name
+        self.best = float("inf")
+        os.makedirs(os.path.dirname(os.path.abspath(base)), exist_ok=True)
+
+    def update(self, value: float, state) -> bool:
+        improved = value < self.best
+        if improved:
+            self.best = value
+            save_params(self.base + ".best", state.params)
+        save_params(self.base + ".last", state.params)
+        save_train_state(self.base + ".opt.last", state)
+        return improved
