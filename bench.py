@@ -22,10 +22,13 @@ def main():
     from ttscube_tpu.models.cubegan import Cubegan, CubeganConfig
     from ttscube_tpu.models.languasito import LanguasitoConfig
 
-    B, N, MAX_FRAMES = 8, 64, 512  # 8 utterances x 5.12 s
+    from ttscube_tpu.models.hifigan import HifiganConfig
+
+    B, N, MAX_FRAMES = 32, 64, 512  # 32 utterances x 5.12 s (serving batch)
     cfg = CubeganConfig(
         languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
-                                    max_duration=100))
+                                    max_duration=100),
+        hifigan=HifiganConfig())
     model = Cubegan(cfg, train=False)
 
     rng = np.random.default_rng(0)
@@ -50,6 +53,8 @@ def main():
     # NOTE: through the remote-TPU relay, block_until_ready is not a reliable barrier —
     # timing must fetch a scalar reduction of the output to the host. Inputs vary per
     # call so nothing can be cached.
+    from ttscube_tpu.ops.rnn import pallas_rnn_enabled
+
     @jax.jit
     def infer_sum(p, xc, xs):
         audio, _ = model.infer(p, {"x_char": xc, "x_speaker": xs},
@@ -59,7 +64,8 @@ def main():
     iters = 10
     char_batches = [jnp.asarray(rng.integers(1, 64, (B, N)).astype(np.int32))
                     for _ in range(iters + 1)]
-    float(infer_sum(params, char_batches[0], batch["x_speaker"]))  # warm up
+    with pallas_rnn_enabled():  # flag is read at trace time (the warm-up call)
+        float(infer_sum(params, char_batches[0], batch["x_speaker"]))
 
     times = []
     for i in range(iters):

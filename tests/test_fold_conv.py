@@ -1,0 +1,38 @@
+"""Channel-folding conv transform: exactness vs the plain conv (ops/conv.fold_conv_kernel)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ttscube_tpu.models.hifigan import Generator, HifiganConfig
+from ttscube_tpu.ops.conv import fold_conv_kernel
+
+
+@pytest.mark.parametrize("k,F,C", [(3, 4, 8), (7, 4, 8), (11, 4, 8), (11, 2, 16)])
+def test_folded_conv_matches_plain(k, F, C):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, C)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, C, C)).astype(np.float32) * 0.1)
+    p = (k - 1) // 2
+    want = jax.lax.conv_general_dilated(x, w, (1,), [(p, p)],
+                                        dimension_numbers=("NWC", "WIO", "NWC"))
+    wp, (pl_, pr) = fold_conv_kernel(w, F)
+    xf = x.reshape(2, 64 // F, F * C)
+    got = jax.lax.conv_general_dilated(xf, wp, (1,), [(pl_, pr)],
+                                       dimension_numbers=("NWC", "WIO", "NWC"))
+    got = got.reshape(2, 64, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_generator_fold_narrow_is_exact():
+    """fold_narrow=True must produce the same audio as fold_narrow=False."""
+    cfg_off = HifiganConfig(upsample_initial_channel=128, fold_narrow=False)
+    cfg_on = HifiganConfig(upsample_initial_channel=128, fold_narrow=True)
+    g_off, g_on = Generator(cfg_off), Generator(cfg_on)
+    params = g_off.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 80))
+    a_off = g_off.apply(params, mel)
+    a_on = g_on.apply(params, mel)
+    np.testing.assert_allclose(np.asarray(a_on), np.asarray(a_off), atol=1e-5)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -37,6 +37,18 @@ class HifiganConfig:
     resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     num_mels: int = 80
     sampling_rate: int = 24000
+    # "bfloat16" runs the conv stack on the MXU at bf16 with fp32 accumulation
+    # (~4x on v5e); the final conv_post + tanh stay fp32.
+    compute_dtype: str = "float32"
+    # fold time into channels for the narrow (C<=32) d=1 tail convs (exact transform,
+    # ops/conv.fold_conv_kernel). Wins 4.7x on isolated convs but LOSES ~1.7x composed
+    # into the full generator (XLA fusion/layout interactions) — keep off by default.
+    fold_narrow: bool = False
+
+    @property
+    def jnp_compute_dtype(self):
+        import jax.numpy as _jnp
+        return {"float32": None, "bfloat16": _jnp.bfloat16}[self.compute_dtype]
 
     @property
     def total_upsample(self) -> int:
@@ -52,14 +64,19 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int
     dilations: Sequence[int]
+    compute_dtype: Any = None
+    fold_time: int = 1
 
     @nn.compact
     def __call__(self, x):
         for d in self.dilations:
             h = nn.leaky_relu(x, LRELU_SLOPE)
-            h = WNConv1d(self.channels, self.kernel_size, dilation=d)(h)
+            h = WNConv1d(self.channels, self.kernel_size, dilation=d,
+                         compute_dtype=self.compute_dtype,
+                         fold_time=self.fold_time if d == 1 else 1)(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
-            h = WNConv1d(self.channels, self.kernel_size, dilation=1)(h)
+            h = WNConv1d(self.channels, self.kernel_size, dilation=1,
+                         compute_dtype=self.compute_dtype, fold_time=self.fold_time)(h)
             x = x + h
         return x
 
@@ -70,12 +87,16 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int
     dilations: Sequence[int]
+    compute_dtype: Any = None
+    fold_time: int = 1
 
     @nn.compact
     def __call__(self, x):
         for d in self.dilations:
             h = nn.leaky_relu(x, LRELU_SLOPE)
-            h = WNConv1d(self.channels, self.kernel_size, dilation=d)(h)
+            h = WNConv1d(self.channels, self.kernel_size, dilation=d,
+                         compute_dtype=self.compute_dtype,
+                         fold_time=self.fold_time if d == 1 else 1)(h)
             x = x + h
         return x
 
@@ -88,19 +109,24 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         c = self.config
+        cd = c.jnp_compute_dtype
         res_cls = ResBlock1 if c.resblock == "1" else ResBlock2
-        x = WNConv1d(c.upsample_initial_channel, 7, padding=3, name="conv_pre")(mel)
+        x = WNConv1d(c.upsample_initial_channel, 7, padding=3, name="conv_pre",
+                     compute_dtype=cd)(mel)
         ch = c.upsample_initial_channel
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = ch // 2
-            x = WNConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"up_{i}")(x)
+            x = WNConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"up_{i}",
+                                  compute_dtype=cd)(x)
+            fold = 128 // ch if (c.fold_narrow and ch <= 32) else 1
             acc = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)):
-                h = res_cls(ch, rk, rd, name=f"res_{i}_{j}")(x)
+                h = res_cls(ch, rk, rd, compute_dtype=cd, fold_time=fold,
+                            name=f"res_{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(c.resblock_kernel_sizes)
-        x = nn.leaky_relu(x, 0.01)  # final activation uses the torch default slope
+        x = nn.leaky_relu(x.astype(jnp.float32), 0.01)  # final act/conv stay fp32
         x = WNConv1d(1, 7, padding=3, name="conv_post")(x)
         audio = jnp.tanh(x)[..., 0]
         # The reference config ([5,3,4,4] with kernels [16,16,4,4]) yields a few samples

