@@ -183,6 +183,112 @@ def import_audio(dataset: list[dict], output_folder: str, input_folder: str,
         np.save(open(base + ".pitch", "wb"), pitch)
 
 
+# -- legacy HTK import path (reference scripts/import_corpus.py) -----------------------
+
+
+def encode_htk(string: str) -> str:
+    """HTK octal re-encoding of non-ASCII strings (reference import_corpus.py:132-180)."""
+    out = ""
+    for b in bytes(string, "utf-8"):
+        out += "\\{0}{1}{2}".format((b // 64) % 8, (b // 8) % 8, b % 8)
+    return out
+
+
+def align_htk(phs_lines: list[str], transcription: list[str], num_frames: int,
+              frame_ms: int = 16):
+    """DP-align a char/phone transcription to HTK .phs lines ('start stop phone', 100 ns
+    units) → per-mel-frame phone indices (reference ``_align`` import_corpus.py:64-129)."""
+    s1 = transcription
+    s2 = [p.split(" ")[2].strip() for p in phs_lines]
+    stop = [int(p.split(" ")[1].strip()) for p in phs_lines]
+    a = np.zeros((len(s1) + 1, len(s2) + 1))
+    a[:, 0] = np.arange(a.shape[0])
+    a[0, :] = np.arange(a.shape[1])
+    for i in range(1, a.shape[0]):
+        for j in range(1, a.shape[1]):
+            c_ph, c_htk = s1[i - 1], s2[j - 1]
+            cost = 0 if (c_ph == c_htk or encode_htk(c_ph) == c_htk) else 1
+            a[i, j] = cost + min(a[i - 1, j], a[i - 1, j - 1], a[i, j - 1])
+    i, j = a.shape[0] - 1, a.shape[1] - 1
+    phs2t = {j - 1: i - 1}
+    while i != 1 or j != 1:
+        if i == 1:
+            j -= 1
+        elif j == 1:
+            i -= 1
+        elif a[i - 1, j - 1] <= a[i - 1, j] and a[i - 1, j - 1] <= a[i, j - 1]:
+            i -= 1
+            j -= 1
+        elif a[i - 1, j] < a[i - 1, j - 1] and a[i - 1, j] < a[i, j - 1]:
+            i -= 1
+        else:
+            j -= 1
+        phs2t[j - 1] = i - 1
+
+    trans2interval = {}
+    for iphs in range(len(phs_lines)):
+        if iphs in phs2t:
+            trans2interval[phs2t[iphs]] = stop[iphs]
+    align = np.full(num_frames, -1, np.int64)
+    intervals = []
+    start = 0
+    for tpos in sorted(trans2interval):
+        intervals.append((tpos, start, trans2interval[tpos]))
+        start = trans2interval[tpos]
+    for m in range(num_frames):
+        t = m * frame_ms
+        for tpos, s, e in intervals:
+            if s / 10000 <= t <= e / 10000:
+                align[m] = tpos
+                break
+        if align[m] == -1:
+            align[m] = len(transcription) - 1
+    return align
+
+
+def create_lab_file(txt_file: str, phs_file: str, num_frames: int, lab_file: str,
+                    speaker_name: str | None = None, g2p=None, lang: str = "none",
+                    emotion: str = "neutral") -> bool:
+    """Legacy .lab JSON: {speaker, emotion, text, transcription, aligned, lang}
+    (reference ``create_lab_file`` import_corpus.py:183-226)."""
+    line = open(txt_file, encoding="utf-8").readline().strip().replace("\t", " ")
+    while "  " in line:
+        line = line.replace("  ", " ")
+    obj: dict = {}
+    fname = txt_file.replace("\\", "/").split("/")[-1]
+    if speaker_name is not None:
+        obj["speaker"] = speaker_name
+    elif len(fname.split("_")) != 1:
+        obj["speaker"] = fname.split("_")[0]
+    else:
+        obj["speaker"] = "none"
+    obj["emotion"] = emotion
+    obj["text"] = line
+    if g2p is not None:
+        trans = ["<START>"]
+        for token in g2p(line):
+            for ph in token.transcription:
+                trans.append(ph)
+        trans.append("<STOP>")
+        obj["transcription"] = trans
+    else:
+        obj["transcription"] = ["<START>"] + [c.lower() for c in line] + ["<STOP>"]
+    phs_lines = open(phs_file).readlines()
+    aligned = align_htk(phs_lines, obj["transcription"], num_frames)
+    obj["aligned"] = aligned.tolist()
+    obj["lang"] = lang
+    json.dump(obj, open(lab_file, "w", encoding="utf-8"))
+    return True
+
+
+def highpass_filter(y: np.ndarray, sr: int, cutoff_hz: float = 100.0) -> np.ndarray:
+    """30th-order butterworth high-pass (reference import_corpus.py:229-233)."""
+    from scipy import signal
+
+    sos = signal.butter(30, cutoff_hz, "hp", fs=sr, output="sos")
+    return signal.sosfilt(sos, y).astype(np.float32)
+
+
 # -- TextGrid (MFA) import path (reference scripts/import_textgrid.py) -----------------
 
 

@@ -113,3 +113,196 @@ def greedy_decode(logits, done):
     emitted_before_done = jnp.concatenate(
         [jnp.zeros_like(done[:, :1]), done[:, :-1]], axis=1)
     return jnp.where(emitted_before_done, 0, toks)
+
+
+# -- G2P orchestration (reference cube/networks/g2p.py:26-231) -------------------------
+
+
+class G2PDataset:
+    """Tab-separated word→phones file (reference g2p.py:267-280)."""
+
+    def __init__(self, path: str):
+        self.examples = []
+        for line in open(path):
+            parts = line.strip().split("\t")
+            if len(parts) != 2:
+                continue
+            self.examples.append((parts[0], parts[1].split(" ")))
+
+
+class G2P:
+    """Word-level G2P: vocab management, lexicon override, batched transcription.
+
+    File contract mirrors the reference: `{base}.encodings` (token2int/label2int/
+    label_list JSON), `{base}.best`/`.last` weights; tab-separated lexicon.
+    TPU notes: word batches are padded to char buckets so the jitted encoder/decoder
+    executables are reused across calls; greedy decode runs as a scan with a static
+    max length.
+    """
+
+    MAX_PHONES = 48  # static free-run decode bound (words, not sentences)
+
+    def __init__(self):
+        import jax
+
+        self.token2int = {"<PAD>": 0, "<UNK>": 1, "<EOS>": 2}
+        self.label2int = {"<PAD>": 0, "<UNK>": 1, "<EOS>": 2}
+        self.label_list = ["<PAD>", "<UNK>", "<EOS>"]
+        self.lookup: dict[str, list[str]] = {}
+        self.model: Seq2Seq | None = None
+        self.params = None
+        self._jit_cache = {}
+        self._jax = jax
+        from ttscube_tpu.data.text import SimpleTokenizer
+
+        self.simple_tokenizer = SimpleTokenizer()
+
+    # -- persistence -------------------------------------------------------------
+
+    def save(self, base: str):
+        import json
+
+        json.dump({"token2int": self.token2int, "label2int": self.label2int,
+                   "label_list": self.label_list}, open(base + ".encodings", "w"),
+                  indent=2)
+
+    def load(self, base: str, load_last: bool = False):
+        import json
+        import os
+
+        from ttscube_tpu.utils.checkpoint import load_params
+
+        obj = json.load(open(base + ".encodings"))
+        self.token2int = obj["token2int"]
+        self.label2int = obj["label2int"]
+        self.label_list = obj["label_list"]
+        self.initialize_network()
+        for ext in ([".last"] if load_last else [".best", ".model", ".last"]):
+            if os.path.exists(base + ext):
+                self.params = load_params(base + ext, self._jax.device_get(self.params))
+                return
+        raise FileNotFoundError(f"no weights found at {base}.best/.model/.last")
+
+    def load_lexicon(self, path: str):
+        for line in open(path):
+            parts = line.strip().split("\t")
+            if len(parts) != 2:
+                continue
+            self.lookup[parts[0].lower()] = parts[1].split(" ")
+
+    # -- setup -------------------------------------------------------------------
+
+    def update_encodings(self, dataset: G2PDataset, cutoff: int = 2):
+        """Chars/phones seen ≥ cutoff times enter the vocab (reference g2p.py:63-86)."""
+        t2c, l2c = {}, {}
+        for word, trans in dataset.examples:
+            for ch in word.lower():
+                t2c[ch] = t2c.get(ch, 0) + 1
+            for ph in trans:
+                l2c[ph] = l2c.get(ph, 0) + 1
+        for tok, n in t2c.items():
+            if n >= cutoff:
+                self.token2int[tok] = len(self.token2int)
+        for lab, n in l2c.items():
+            if n >= cutoff:
+                self.label2int[lab] = len(self.label2int)
+                self.label_list.append(lab)
+
+    def initialize_network(self):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = Seq2Seq(Seq2SeqConfig(num_input_tokens=len(self.token2int),
+                                           num_output_tokens=len(self.label2int)))
+        x0 = jnp.zeros((1, 4), jnp.int32)
+        y0 = jnp.zeros((1, 4), jnp.int32)
+        self.params = self.model.init(jax.random.PRNGKey(0), x0, y0)["params"]
+
+    # -- batching ----------------------------------------------------------------
+
+    @staticmethod
+    def _bucket(n: int, step: int = 4) -> int:
+        return max(step, ((n + step - 1) // step) * step)
+
+    def encode_words(self, words: list[str]):
+        import numpy as np
+
+        max_len = self._bucket(max(len(w) for w in words) + 1)
+        x = np.zeros((len(words), max_len), np.int32)
+        for i, w in enumerate(words):
+            for j, ch in enumerate(w.lower()):
+                x[i, j] = self.token2int.get(ch, UNK)
+            x[i, len(w)] = EOS
+        return x
+
+    def encode_labels(self, transcriptions: list[list[str]]):
+        import numpy as np
+
+        max_len = self._bucket(max(len(t) for t in transcriptions) + 1)
+        y = np.zeros((len(transcriptions), max_len), np.int32)
+        for i, t in enumerate(transcriptions):
+            for j, ph in enumerate(t):
+                y[i, j] = self.label2int.get(ph, UNK)
+            y[i, len(t)] = EOS
+        return y
+
+    # -- inference ---------------------------------------------------------------
+
+    def transcribe(self, words: list[str]) -> list[list[str]]:
+        import jax.numpy as jnp
+        import numpy as np
+
+        if not words:
+            return []
+        x = self.encode_words(words)
+        key = ("free", x.shape[1])
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._jax.jit(
+                lambda p, x: self.model.apply({"params": p}, x,
+                                              max_steps=self.MAX_PHONES))
+        logits, done = self._jit_cache[key](self.params, jnp.asarray(x))
+        toks = np.asarray(greedy_decode(logits, done))
+        out = []
+        for row in toks:
+            tr = []
+            for t in row:
+                if t == EOS:
+                    break
+                if t not in (PAD, UNK):
+                    tr.append(self.label_list[t])
+            out.append(tr)
+        return out
+
+    def __call__(self, utterance: str, trace: bool = False):
+        """Tokenize + transcribe with lexicon override (reference g2p.py:174-210)."""
+        tokens = self.simple_tokenizer(utterance)
+        words = [t.word.lower() for t in tokens if t.is_word]
+        transcriptions = self.transcribe(words) if words else []
+        trace_words = []
+        i = 0
+        for token in tokens:
+            if token.is_word:
+                token.transcription = transcriptions[i]
+                i += 1
+                if token.word.lower() in self.lookup:
+                    token.transcription = self.lookup[token.word.lower()]
+            elif token.word == " ":
+                token.transcription = [" "]
+            elif token.word in ("-", '"'):
+                token.transcription = ["_"]
+            else:
+                token.transcription = [""]
+            trace_words.append({"word": token.word,
+                                "transcription": token.transcription})
+        return (tokens, trace_words) if trace else tokens
+
+    def evaluate(self, dataset: G2PDataset, batch_size: int = 64) -> float:
+        """Word accuracy (exact transcription match; reference g2p.py:212-225)."""
+        err, total = 0, len(dataset.examples)
+        for i in range(0, total, batch_size):
+            batch = dataset.examples[i : i + batch_size]
+            preds = self.transcribe([w for w, _ in batch])
+            for (_, gold), pred in zip(batch, preds):
+                if pred != gold:
+                    err += 1
+        return 1.0 - err / max(total, 1)

@@ -176,6 +176,41 @@ class Languasito2(nn.Module):
                       "frame2phone": frame2phone, "frame_mask": frame_mask}
 
 
+class Languasito(nn.Module):
+    """Languasito v1 — superseded single-tower variant (reference modules.py:592-802;
+    not instantiated in the reference's live code but part of the inventory).
+
+    One shared front; `_rnn_overlay` BiLSTM(512) at frame rate feeds a *classification*
+    pitch head (max_pitch+1 ways) and the conditioning RNN (input = overlay ⊕ pitch)."""
+
+    config: LanguasitoConfig
+
+    @nn.compact
+    def __call__(self, X, frame2phone=None, pitch=None):
+        c = self.config
+        h = _Tower(c, name="tower")(X["x_char"], X["x_speaker"], X.get("x_words"),
+                                    X.get("x_phon2word"))
+        hidden_dur, _ = LSTM(DUR_RNN_SIZE, num_layers=DUR_RNN_LAYERS, bidirectional=True,
+                             name="dur_rnn")(h)
+        dur_logits = nn.Dense(c.max_duration + 1, name="dur_output",
+                              kernel_init=nn.initializers.xavier_uniform())(hidden_dur)
+        if frame2phone is None:
+            frame2phone = X["y_frame2phone"]
+        hf = regulate_length(h, frame2phone)
+        overlay, _ = LSTM(512, num_layers=1, bidirectional=True, name="rnn_overlay")(hf)
+        hp, _ = LSTM(PITCH_RNN_SIZE, num_layers=1, bidirectional=True,
+                     name="pitch_rnn")(overlay)
+        pitch_logits = nn.Dense(int(c.max_pitch) + 1, name="pitch_output",
+                                kernel_init=nn.initializers.xavier_uniform())(hp)
+        if pitch is None:
+            pitch = X["y_pitch"]
+        hc = jnp.concatenate([overlay, (pitch / c.max_pitch)[:, :, None]], axis=-1)
+        hcond, _ = LSTM(256, num_layers=1, bidirectional=True, name="rnn_cond")(hc)
+        cond = nn.Dense(COND_SIZE, name="cond_output",
+                        kernel_init=nn.initializers.xavier_uniform())(hcond)
+        return dur_logits, pitch_logits, cond
+
+
 def languasito_losses(dur_logits, pitch, vuv, batch, max_pitch: float):
     """Duration CE (ignore-index → mask) + VUV-weighted pitch L1 + VUV L1.
 
