@@ -217,6 +217,24 @@ class MelSpec:
         im = jnp.matmul(frames, self._sin, preferred_element_type=jnp.float32)
         return jnp.sqrt(re * re + im * im + c.mag_floor_sq)
 
+    def fft(self, y: jnp.ndarray, use_preemphasis: bool = True) -> jnp.ndarray:
+        """Complex STFT (..., frames, n_freq) (reference ``MelVocoder.fft``
+        vocoder.py:42-48, which applies preemphasis by default)."""
+        c = self.config
+        if use_preemphasis:
+            y = preemphasis(y)
+        frames = frame_signal(self._pad(y), c.n_fft, c.hop_length)
+        re = jnp.matmul(frames, self._cos, preferred_element_type=jnp.float32)
+        im = jnp.matmul(frames, self._sin, preferred_element_type=jnp.float32)
+        return re + 1j * im
+
+    def ifft(self, spec: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:
+        """Inverse of `fft` via overlap-add (reference ``MelVocoder.ifft``
+        vocoder.py:50-52). spec: (frames, n_freq) complex."""
+        c = self.config
+        n = out_len if out_len is not None else (spec.shape[0] - 1) * c.hop_length
+        return self._istft(jnp.real(spec), jnp.imag(spec), n)
+
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
         c = self.config
         mag = self.magnitude(y)

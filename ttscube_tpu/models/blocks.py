@@ -83,6 +83,50 @@ class PostNet(nn.Module):
         return x
 
 
+class ResNet(nn.Module):
+    """Gated conv stack (reference modules.py:91-114; unused in live paths but part of
+    the inventory): each layer's output splits into sigmoid gate × tanh activation with
+    running residual."""
+
+    filter_size: int = 512
+    n_layers: int = 8
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        half = self.filter_size // 2
+        res = None
+        h = x
+        for i in range(self.n_layers):
+            out = Conv1d(self.filter_size, self.kernel_size, name=f"conv_{i}")(h)
+            h = jax.nn.sigmoid(out[..., :half]) * jnp.tanh(out[..., half:])
+            if res is not None:
+                h = h + res
+            res = h
+        return h
+
+
+class UpsampleNet(nn.Module):
+    """Conv tower + weight-norm transposed-conv upsampler (reference modules.py:317-343;
+    unused in live paths)."""
+
+    upsample_scales: tuple[int, ...] = (2, 2, 4)
+    out_channels: int = 80
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, c):
+        from ttscube_tpu.ops.conv import WNConvTranspose1d
+
+        for i in range(3):
+            c = jnp.tanh(Conv1d(self.out_channels, self.kernel_size,
+                                name=f"conv_{i}")(c))
+        for i, s in enumerate(self.upsample_scales):
+            c = jnp.tanh(WNConvTranspose1d(self.out_channels, 2 * s, stride=s,
+                                           padding=s // 2, name=f"up_{i}")(c))
+        return c
+
+
 class Mel2Style(nn.Module):
     """GST-style attention over learned style tokens (reference modules.py:167-205)."""
 

@@ -19,6 +19,61 @@ def render_spectrogram(mgc: np.ndarray, output_file: str):
     Image.fromarray(np.stack([gray] * 3, axis=-1)).save(output_file)
 
 
+def synthesize_devset(textcoder, textcoder_variables, generator, generator_params,
+                      dataset, collate, output_path: str,
+                      forced_synthesis: bool = True, limit: int = -1,
+                      max_frames: int = 1024, sample_rate: int = 24000):
+    """Textcoder → mel → standalone HiFi-GAN generator devset synthesis (reference
+    ``synthesize_devset`` runtime.py:41-80, incl. the log10→ln mel base conversion at
+    runtime.py:77 before feeding the vocoder). Writes PNG + wav per utterance."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from ttscube_tpu.models.textcoder import TextcoderInfer, textcoder_infer_params
+    from ttscube_tpu.utils.wavio import write_wav
+
+    os.makedirs(output_path, exist_ok=True)
+    n = len(dataset) if limit == -1 else min(limit, len(dataset))
+    infer_mod = TextcoderInfer(textcoder.config, max_frames=max_frames)
+    infer_vars = textcoder_infer_params(textcoder_variables)
+    ln10 = math.log(10.0)
+
+    @jax.jit
+    def forced(variables, batch, rng):
+        out = textcoder.apply(variables, batch, train=False, rngs={"dropout": rng})
+        return out[3]  # post-net mel
+
+    @jax.jit
+    def free(variables, batch, rng):
+        mel, _ = infer_mod.apply(variables, batch, rngs={"dropout": rng})
+        return mel
+
+    @jax.jit
+    def vocode(p, mel):
+        # features are log10-mel; the GAN generator expects natural-log mel
+        return generator.apply({"params": p}, mel * ln10)
+
+    rng = jax.random.PRNGKey(0)
+    for i in range(n):
+        example = dataset[i]
+        batch = collate([example])
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        rng, sub = jax.random.split(rng)
+        if forced_synthesis:
+            mel = forced(textcoder_variables, batch, sub)
+        else:
+            Xi = {k: v for k, v in batch.items() if k.startswith("x_")}
+            mel = free(infer_vars, Xi, sub)
+        mel_np = np.asarray(jax.device_get(mel))[0]
+        render_spectrogram(mel_np, os.path.join(output_path,
+                                                f"{example['meta']['id']}.png"))
+        audio = np.asarray(jax.device_get(vocode(generator_params, mel)))[0]
+        write_wav(os.path.join(output_path, f"{example['meta']['id']}.wav"),
+                  audio, sample_rate)
+
+
 def cubegan_synthesize_dataset(model, params, dataset, collate, output_path: str,
                                limit: int = -1, free: bool = True,
                                max_frames: int = 2048, speaker: str | None = None):
