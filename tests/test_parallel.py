@@ -48,6 +48,25 @@ def test_parallel_train_step_runs():
     assert int(new_state.step) == 1
 
 
+def test_parallel_synthesis_across_mesh():
+    """Batched synthesis sharded over the data axis must match single-device output."""
+    from ttscube_tpu.parallel.mesh import make_parallel_synthesis
+
+    model = tiny_model()
+    batch = toy_batch(B=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch)
+    params = {"lang": state.params["lang"], "gen": state.params["gen"]}
+    Xi = {k: v for k, v in batch.items() if k.startswith("x_")}
+
+    single, _ = jax.jit(lambda p, x: model.infer(p, x, max_frames=64))(params, Xi)
+
+    mesh = make_mesh(data=4, model=1)
+    run = make_parallel_synthesis(model, mesh, max_frames=64)
+    sharded = run(params, Xi)
+    assert sharded.shape == (8, 64 * 240)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=2e-4)
+
+
 def test_data_parallel_matches_single_device():
     """DP over the mesh must give the same losses as single-device (same batch, key)."""
     model = tiny_model()

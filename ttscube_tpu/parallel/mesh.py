@@ -61,6 +61,26 @@ def replicated(tree, mesh: Mesh):
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
 
 
+def make_parallel_synthesis(model, mesh: Mesh, max_frames: int):
+    """Batched multi-utterance synthesis across the mesh (SURVEY §7: serve-side
+    scaling). Utterances shard over 'data'; params replicate (or shard over 'model'
+    via partition_params). Returns fn(params, X) → audio (B, max_frames·hop)."""
+
+    def infer(params, X):
+        audio, _ = model.infer(params, X, max_frames=max_frames)
+        return audio
+
+    def run(params, X):
+        param_sh = partition_params(params, mesh)
+        fn = jax.jit(infer,
+                     in_shardings=(param_sh, shard_batch(X, mesh)),
+                     out_shardings=NamedSharding(mesh, P("data")))
+        with mesh:
+            return fn(params, X)
+
+    return run
+
+
 def make_parallel_train_step(model, mesh: Mesh, train_step_fn):
     """jit a (state, batch, rng) → (state, metrics) step over the mesh.
 
