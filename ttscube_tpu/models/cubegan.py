@@ -235,8 +235,13 @@ def create_train_state(model: Cubegan, rng, example_batch) -> TrainState:
 
 
 def train_step(model: Cubegan, state: TrainState, batch, rng):
-    """One full GAN step: grads for all partitions in one backward, 4 optax updates."""
+    """One full GAN step: grads for all partitions in one backward, 4 optax updates.
+
+    `rng` may be a fixed base key: it is folded with the step counter *inside* the
+    jitted step, so callers don't need a per-step host-side split (an eager
+    `jax.random.split` costs ~1 s per call through the TPU relay)."""
     tx = make_optimizer(model.config)
+    rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(params):
         return model.losses(params, state.spectral, batch, rng,

@@ -47,7 +47,10 @@ def train(
         state = load_train_state(output_base + ".opt.last", state)
 
     keeper = BestKeeper(output_base, selection_metric)
-    rng = jax.random.PRNGKey(seed)
+    # one fixed base key: per-step variation comes from fold_in(state.step) inside the
+    # jitted step — an eager split per batch costs ~1 s each through the TPU relay
+    base_rng = jax.random.PRNGKey(seed)
+    val_rng = jax.random.PRNGKey(seed + 1)
     epoch = 0
     global_step = int(jax.device_get(state.step))
 
@@ -57,8 +60,7 @@ def train(
         for batch in batch_iterator(trainset, batch_size, collate, shuffle=True,
                                     seed=seed + epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub)
+            state, metrics = train_step(state, batch, base_rng)
             window.append(metrics)
             global_step += 1
             if global_step % log_every == 0:
@@ -74,8 +76,7 @@ def train(
         val_metrics = []
         for batch in batch_iterator(devset, batch_size, collate, shuffle=False):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            rng, sub = jax.random.split(rng)
-            val_metrics.append(val_step(state, batch, sub))
+            val_metrics.append(val_step(state, batch, val_rng))
         if val_metrics:
             fetched = [jax.device_get(m) for m in val_metrics]
             avg = {k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]}
