@@ -8,8 +8,14 @@ Reference: CubeganEncodings (``io_cubegan.py:111-152``), PhonemizerEncodings
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
+
+
+def _open_w(filename: str):
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    return open(filename, "w")
 
 
 class CubeganEncodings:
@@ -51,7 +57,7 @@ class CubeganEncodings:
             "phon2int": self.phon2int,
             "max_duration": int(self.max_duration),
             "max_pitch": int(self.max_pitch),
-        }, open(filename, "w"))
+        }, _open_w(filename))
 
 
 # The textcoder uses the same schema (reference io_textcoder.py mirrors io_cubegan.py).
@@ -92,4 +98,4 @@ class PhonemizerEncodings:
 
     def save(self, filename: str):
         json.dump({"grapheme2int": self.grapheme2int, "phon2int": self.phon2int},
-                  open(filename, "w"))
+                  _open_w(filename))

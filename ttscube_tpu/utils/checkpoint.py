@@ -40,6 +40,7 @@ def load_train_state(path: str, template):
 
 
 def save_config(base: str, config: dict):
+    os.makedirs(os.path.dirname(os.path.abspath(base)), exist_ok=True)
     yaml.dump(config, open(base + ".yaml", "w"))
 
 
