@@ -24,7 +24,7 @@ def main():
 
     from ttscube_tpu.models.hifigan import HifiganConfig
 
-    B, N, MAX_FRAMES = 32, 64, 512  # 32 utterances x 5.12 s (serving batch)
+    B, N, MAX_FRAMES = 128, 64, 512  # serving batch; B=256 OOMs (21G>15.75G HBM)
     cfg = CubeganConfig(
         languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
                                     max_duration=100),
@@ -61,7 +61,7 @@ def main():
                                max_frames=MAX_FRAMES)
         return jnp.abs(audio).mean()
 
-    iters = 10
+    iters = 4
     char_batches = [jnp.asarray(rng.integers(1, 64, (B, N)).astype(np.int32))
                     for _ in range(iters + 1)]
     with pallas_rnn_enabled():  # flag is read at trace time (the warm-up call)
