@@ -86,7 +86,8 @@ def _train(args):
           selection_metric="loss_mel", max_epochs=args.max_epochs,
           max_steps=args.max_steps, resume=args.resume,
           on_epoch_end=on_epoch_end if args.epoch_generation > 0 else None,
-          epoch_generation=max(args.epoch_generation, 1))
+          epoch_generation=max(args.epoch_generation, 1),
+          opt_save_every=args.opt_save_every)
 
 
 if __name__ == "__main__":
@@ -109,5 +110,7 @@ if __name__ == "__main__":
     parser.add_argument("--max-steps", dest="max_steps", type=int, default=-1)
     parser.add_argument("--mesh-data", dest="mesh_data", type=int, default=1)
     parser.add_argument("--mesh-model", dest="mesh_model", type=int, default=1)
+    parser.add_argument("--opt-save-every", dest="opt_save_every", type=int, default=1,
+                        help="epochs between full-state .opt.last saves (default 1)")
     parser.add_argument("--resume", dest="resume", action="store_true")
     _train(parser.parse_args())

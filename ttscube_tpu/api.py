@@ -146,6 +146,8 @@ class TTSCube:
         Xi = {k: jnp.asarray(v) for k, v in X.items() if k.startswith("x_")}
 
         total = int(jax.device_get(self._dur_fn(self.params, Xi)))
+        total = max(total, 1)  # all-unknown phones predict 0 frames; emit 1 frame of
+        # silence instead of a zero-length array
         bucket = int(np.clip(
             ((total + FRAME_BUCKET - 1) // FRAME_BUCKET) * FRAME_BUCKET,
             FRAME_BUCKET, MAX_FRAMES))

@@ -39,6 +39,8 @@ def train(
     resume: bool = False,
     on_epoch_end: Optional[Callable] = None,   # (epoch, state) -> None
     epoch_generation: int = 10,
+    opt_save_every: int = 1,   # epochs between full-state (.opt.last) saves — fetching
+    # ~GB of optimizer state through the TPU relay costs ~1 min; raise on tiny epochs
 ):
     import jax.numpy as jnp
 
@@ -84,7 +86,8 @@ def train(
             avg = {selection_metric: float("inf")}
         sys.stdout.write(f"\n\tepoch {epoch} ({time.time()-t0:.1f}s) val: " +
                          " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())) + "\n")
-        improved = keeper.update(avg[selection_metric], state)
+        improved = keeper.update(avg[selection_metric], state,
+                                 save_opt=(epoch % max(opt_save_every, 1) == 0))
         sys.stdout.write(f"\tStored {output_base}.last" +
                          (f" + .best ({selection_metric}={avg[selection_metric]:.4f})\n"
                           if improved else "\n"))

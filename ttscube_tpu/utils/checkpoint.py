@@ -58,11 +58,12 @@ class BestKeeper:
         self.best = float("inf")
         os.makedirs(os.path.dirname(os.path.abspath(base)), exist_ok=True)
 
-    def update(self, value: float, state) -> bool:
+    def update(self, value: float, state, save_opt: bool = True) -> bool:
         improved = value < self.best
         if improved:
             self.best = value
             save_params(self.base + ".best", state.params)
         save_params(self.base + ".last", state.params)
-        save_train_state(self.base + ".opt.last", state)
+        if save_opt:
+            save_train_state(self.base + ".opt.last", state)
         return improved
