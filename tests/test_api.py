@@ -90,6 +90,39 @@ def test_ttscube_synthesis(artifacts):
     assert len(cube._infer_cache) >= n_compiled
 
 
+def test_unknown_phones_yield_silence_not_empty(artifacts):
+    """All-unknown text → zero predicted durations must still return ≥1 frame of
+    silence, not a zero-length array (found driving the full pipeline)."""
+    from ttscube_tpu.api import TTSCube
+
+    cube = TTSCube(str(artifacts / "cubegan"), str(artifacts / "phonemizer"))
+    audio = cube("12345", speaker="neb")  # digits: unknown graphemes/phones
+    assert audio.dtype == np.int16
+    assert len(audio) >= 240  # at least one frame
+
+
+def test_storycube_assembly(artifacts, monkeypatch, tmp_path):
+    """StoryCube paragraph assembly + metadata + music mixdown over a stubbed cube."""
+    import ttscube_tpu.story as story_mod
+    from ttscube_tpu.utils.wavio import write_wav
+
+    class FakeCube:
+        def __call__(self, text, speaker="none"):
+            return (np.ones(24000, np.float32) * 0.1 * 32767).astype(np.int16)
+
+    monkeypatch.setattr(story_mod.TTSCube, "load", staticmethod(lambda name: FakeCube()))
+    music = tmp_path / "music.wav"
+    write_wav(str(music), 0.2 * np.sin(np.linspace(0, 800 * np.pi, 48000)).astype(np.float32), 24000)
+    sc = story_mod.StoryCube("whatever", music_path=str(music))
+    out = sc("Paragraph one.\n\nParagraph two.", speaker="neb")
+    assert out["audio"].dtype == np.int16
+    # 5s intro + 2x(1s audio + 1s pause) + 5s outro = 14s
+    assert abs(len(out["audio"]) / 24000 - 14.0) < 0.1
+    assert out["meta"][0]["name"] == "intro"
+    assert out["meta"][1]["text"] == "Paragraph one."
+    assert out["meta"][2]["start"] > out["meta"][1]["start"]
+
+
 def test_export_and_reimport(artifacts, tmp_path):
     from scripts.export_model import _export
 
