@@ -58,7 +58,9 @@ def _train(args):
         hop_size=args.hop_size,
     )
     model = Cubegan(cfg)
-    collate = CubeganCollate(encodings, hop=args.hop_size)
+    from ttscube_tpu.utils.wordvec import make_word_embedder
+    collate = CubeganCollate(encodings, word_embedder=make_word_embedder(args.lm),
+                             hop=args.hop_size)
 
     example = collate([trainset[0]])
     import jax.numpy as jnp
