@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(batch: int = 128, chunk: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -24,7 +24,9 @@ def main():
 
     from ttscube_tpu.models.hifigan import HifiganConfig
 
-    B, N, MAX_FRAMES = 128, 64, 512  # serving batch; B=256 OOMs (21G>15.75G HBM)
+    # default serving batch 128 in one generator program; --batch 256 --chunk 256
+    # streams the generator in windows (generate_chunked) to stay inside HBM
+    B, N, MAX_FRAMES = batch, 64, 512
     cfg = CubeganConfig(
         languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
                                     max_duration=100),
@@ -58,7 +60,8 @@ def main():
     @jax.jit
     def infer_sum(p, xc, xs):
         audio, _ = model.infer(p, {"x_char": xc, "x_speaker": xs},
-                               max_frames=MAX_FRAMES)
+                               max_frames=MAX_FRAMES,
+                               chunk_frames=chunk if chunk > 0 else None)
         return jnp.abs(audio).mean()
 
     iters = 4
@@ -86,4 +89,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from argparse import ArgumentParser
+
+    ap = ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="generator window frames (0 = whole utterance)")
+    args = ap.parse_args()
+    main(batch=args.batch, chunk=args.chunk)

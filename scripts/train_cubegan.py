@@ -26,15 +26,50 @@ def _train(args):
     from ttscube_tpu.train.runtime import cubegan_synthesize_dataset
     from ttscube_tpu.utils.checkpoint import save_config
 
+    cond_type = args.lm.split(":")[0] if args.lm else None
+    lm = None
+    lm_config = None
+    lm_params = None
+    hf_tokenizer = None
+    if cond_type == "hf":
+        # in-model transformer conditioning (reference cubegan.py:56,88-89, opt_b
+        # :299-302); network-free: the model must be a local directory
+        from ttscube_tpu.models.lm import TransformerEncoder, load_local_lm
+        from ttscube_tpu.utils.hf import HFTokenizer
+
+        hf_dir = args.lm.split(":", 1)[1]
+        if not os.path.isdir(hf_dir):
+            raise SystemExit(
+                f"--lm hf:<dir>: '{hf_dir}' is not a local model directory. This "
+                "environment has no hub access — place a HF-format BERT checkpoint "
+                "(config.json + tokenizer files [+ pytorch_model.bin]) there first.")
+        try:
+            hf_tokenizer = HFTokenizer(hf_dir)
+        except Exception as e:
+            raise SystemExit(f"--lm hf: could not load a tokenizer from '{hf_dir}': {e}")
+        try:
+            lm_config, lm_params = load_local_lm(hf_dir)
+        except Exception as e:
+            raise SystemExit(f"--lm hf: could not read '{hf_dir}/config.json': {e}")
+        lm = TransformerEncoder(lm_config)
+        if lm_params is None:
+            sys.stdout.write(f"WARNING: no weights in {hf_dir}; "
+                             "LM encoder starts from random init\n")
+    elif args.lm and cond_type != "fasttext":
+        raise SystemExit(f"unknown --lm spec '{args.lm}' "
+                         "(expected fasttext:<table> or hf:<dir>)")
+
     config = {"sample_rate": args.sample_rate, "hop_size": args.hop_size,
               "conditioning": args.lm}
+    if lm_config is not None:
+        config["lm_config"] = lm_config.to_dict()
     save_config(args.output_base, config)
     sys.stdout.write("=================Config=================\n")
     sys.stdout.write(open(args.output_base + ".yaml").read())
     sys.stdout.write("========================================\n\n")
 
-    trainset = CubeganDataset(args.train_folder)
-    devset = CubeganDataset(args.dev_folder)
+    trainset = CubeganDataset(args.train_folder, hf_tokenizer=hf_tokenizer)
+    devset = CubeganDataset(args.dev_folder, hf_tokenizer=hf_tokenizer)
     sys.stdout.write(f"train={len(trainset)} dev={len(devset)} examples\n")
 
     enc_path = args.output_base + ".encodings"
@@ -45,27 +80,31 @@ def _train(args):
         encodings.compute(trainset)
         encodings.save(enc_path)
 
-    cond_type = args.lm.split(":")[0] if args.lm else None
     cfg = CubeganConfig(
         languasito=LanguasitoConfig(
             num_phones=len(encodings.phon2int),
             num_speakers=len(encodings.speaker2int),
             max_pitch=encodings.max_pitch,
             max_duration=encodings.max_duration,
-            cond_type=cond_type),
+            cond_type=cond_type,
+            lm_dim=lm_config.hidden_size if lm_config is not None else None),
         lr=args.lr,
         sample_rate=args.sample_rate,
         hop_size=args.hop_size,
     )
-    model = Cubegan(cfg)
+    model = Cubegan(cfg, lm=lm)
     from ttscube_tpu.utils.wordvec import make_word_embedder
     collate = CubeganCollate(encodings, word_embedder=make_word_embedder(args.lm),
-                             hop=args.hop_size)
+                             hop=args.hop_size, hf_conditioning=cond_type == "hf")
 
     example = collate([trainset[0]])
     import jax.numpy as jnp
     example = {k: jnp.asarray(v) for k, v in example.items()}
     state = create_train_state(model, jax.random.PRNGKey(0), example)
+    if lm_params is not None:
+        # graft the imported pretrained encoder over the random init (moments are
+        # zeros at init, so only the params need replacing)
+        state = state.replace(params=dict(state.params, hf=jax.device_put(lm_params)))
 
     if args.mesh_data * args.mesh_model > 1:
         from ttscube_tpu.parallel.mesh import make_mesh, make_parallel_train_step

@@ -123,6 +123,19 @@ def test_storycube_assembly(artifacts, monkeypatch, tmp_path):
     assert out["meta"][2]["start"] > out["meta"][1]["start"]
 
 
+def test_storycube_local_model_paths(artifacts):
+    """StoryCube must accept local cubegan:phonemizer base paths (not only .load())
+    and assemble a multi-paragraph story end-to-end through the real TTSCube."""
+    from ttscube_tpu.story import StoryCube
+
+    sc = StoryCube(f"{artifacts / 'cubegan'}:{artifacts / 'phonemizer'}")
+    out = sc("hello world.\n\nhello again.\n\nmore words here.", speaker="neb")
+    assert out["audio"].dtype == np.int16
+    assert len(out["audio"]) / 24000 > 10.0  # intro+outro alone are 10 s
+    assert [m["name"] for m in out["meta"]].count("paragraph") == 3
+    assert out["meta"][-1]["end"] > out["meta"][-1]["start"]
+
+
 def test_export_and_reimport(artifacts, tmp_path):
     from scripts.export_model import _export
 

@@ -119,6 +119,62 @@ def test_gradient_partition_isolation(setup):
     assert any(float(jnp.abs(x).max()) > 0 for x in jax.tree.leaves(g_total["gen"]))
 
 
+def test_d_then_g_sequencing(setup):
+    """train_step must match a manual Gauss-Seidel composition — D optimizer steps
+    first, G's adversarial/FM losses evaluated against the POST-update D (reference
+    cubegan.py:154-171: opt_d.step() at :155, then self._mpd(y, y_g_hat) at :162) —
+    and must differ from the Jacobi variant (G vs pre-update D)."""
+    import optax
+
+    from ttscube_tpu.models.cubegan import TRAIN_FRAMES, make_optimizer
+
+    model, batch, state = setup
+    rng0 = jax.random.PRNGKey(5)
+    new_state, _ = jax.jit(lambda s, b, r: train_step(model, s, b, r))(
+        state, batch, rng0)
+
+    txs = make_optimizer(model.config)
+    rng = jax.random.fold_in(rng0, state.step)
+    params = state.params
+    pg = {k: v for k, v in params.items() if k not in ("mpd", "msd")}
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    outs, y_w = model.gan_forward(pg, batch, rng, TRAIN_FRAMES)
+    y_hat_sg = jax.lax.stop_gradient(outs[3])
+    pd = {"mpd": params["mpd"], "msd": params["msd"]}
+    (_, new_spec), d_grads = jax.value_and_grad(
+        lambda p: model.d_loss(p, state.spectral, y_w, y_hat_sg, True),
+        has_aux=True)(pd)
+    d_updates, _ = txs["d"].update(dict(zeros, **d_grads), state.opt_state["d"], params)
+    params_after_d = optax.apply_updates(params, d_updates)
+
+    def g_total(pg_, pd_):
+        outs_, y_w_ = model.gan_forward(pg_, batch, rng, TRAIN_FRAMES)
+        loss, _ = model.gt_losses(pd_, new_spec, batch, outs_, y_w_)
+        return loss
+
+    pd_new = {"mpd": params_after_d["mpd"], "msd": params_after_d["msd"]}
+    g_grads = jax.grad(g_total)(pg, pd_new)
+    g_updates, _ = txs["gtb"].update(dict(zeros, **g_grads), state.opt_state["gtb"],
+                                     params_after_d)
+    expected = optax.apply_updates(params_after_d, g_updates)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5),
+        new_state.params, expected)
+
+    # the Jacobi variant (pre-update D) must move the generator differently —
+    # otherwise the equality above would not distinguish the two sequencings
+    g_grads_old = jax.grad(g_total)(pg, pd)
+    g_updates_old, _ = txs["gtb"].update(dict(zeros, **g_grads_old),
+                                         state.opt_state["gtb"], params_after_d)
+    jacobi = optax.apply_updates(params_after_d, g_updates_old)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(expected["gen"]),
+                             jax.tree.leaves(jacobi["gen"]))]
+    assert max(diffs) > 0, "G grads insensitive to the D update — test is vacuous"
+
+
 def test_val_step_and_selection_metric(setup):
     model, batch, state = setup
     F = batch["y_frame2phone"].shape[1]

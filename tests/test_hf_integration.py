@@ -1,0 +1,163 @@
+"""End-to-end HF-conditioning integration on a fully LOCAL fixture model dir (no hub):
+HFTokenizer word2tok alignment, load_local_lm weight import through the file path, the
+training pipeline (dataset pre-tokenization → collate windows → Cubegan hf step), and
+the trainer CLI's fail-fast paths (round-1 VERDICT: `--lm hf:` was a landmine)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+VOCAB = ["[UNK]", "[PAD]", "▁hel", "##lo", "▁world", "▁w", "##1", "##2",
+         "▁left", "▁words", "▁here", "▁right", "▁_", "▁x", "##x", "▁again"]
+
+
+@pytest.fixture(scope="module")
+def local_hf_dir(tmp_path_factory):
+    """A local HF-format model directory: fast tokenizer + tiny BERT config+weights."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordPiece
+    from tokenizers.pre_tokenizers import Metaspace
+
+    base = tmp_path_factory.mktemp("hf_model")
+    tok = Tokenizer(WordPiece({w: i for i, w in enumerate(VOCAB)},
+                              unk_token="[UNK]", max_input_chars_per_word=100))
+    tok.pre_tokenizer = Metaspace()
+    fast = transformers.PreTrainedTokenizerFast(tokenizer_object=tok,
+                                                unk_token="[UNK]", pad_token="[PAD]")
+    fast.save_pretrained(str(base))
+
+    cfg = transformers.BertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, max_position_embeddings=512,
+        type_vocab_size=2, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    cfg.save_pretrained(str(base))
+    torch.manual_seed(0)
+    bert = transformers.BertModel(cfg).eval()
+    torch.save(bert.state_dict(), str(base / "pytorch_model.bin"))
+    return base
+
+
+def test_hf_tokenizer_word2tok_on_local_fixture(local_hf_dir):
+    """word2tok must point at each word's word-start ('▁') subtoken, reproducing the
+    reference walk (cube/utils/hf.py:29-45) including its trailing sentinel entry when
+    the final word has continuation subtokens (ignored downstream, exactly as the
+    reference's _expand_i_hf ignores out-of-range words)."""
+    from ttscube_tpu.utils.hf import HFTokenizer
+
+    t = HFTokenizer(str(local_hf_dir))
+    out = t(["hello", "world", "hello"])
+    assert len(out["tok_ids"]) == 5  # ▁hel ##lo ▁world ▁hel ##lo
+    assert out["word2tok"] == {0: 0, 1: 2, 2: 3, 3: 4}
+    assert out["toks"][out["word2tok"][0]] == "▁hel"
+    assert out["toks"][out["word2tok"][1]] == "▁world"
+    assert out["toks"][out["word2tok"][2]] == "▁hel"
+    assert t([]) == {"tok_ids": [], "toks": [], "word2tok": {}}
+
+
+def test_load_local_lm_imports_weights(local_hf_dir):
+    from ttscube_tpu.models.lm import TransformerEncoder, load_local_lm
+
+    config, params = load_local_lm(str(local_hf_dir))
+    assert params is not None and config.hidden_size == 32
+    bert = transformers.BertModel.from_pretrained(str(local_hf_dir)).eval()
+
+    ids = np.array([[2, 3, 4, 5, 6]], np.int64)
+    with torch.no_grad():
+        want = bert(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    got = np.asarray(TransformerEncoder(config).apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_hf_training_pipeline_end_to_end(local_hf_dir, tmp_path):
+    """Corpus → dataset (pre-tokenized + validated) → collate (window arrays) →
+    Cubegan with imported local LM → 2 GAN steps through the train loop."""
+    from tests.test_data import make_corpus
+    from tests.test_cubegan import TINY_HIFI
+    from ttscube_tpu.data.collate import CubeganCollate
+    from ttscube_tpu.data.datasets import CubeganDataset
+    from ttscube_tpu.data.encodings import CubeganEncodings
+    from ttscube_tpu.models.cubegan import (
+        Cubegan, CubeganConfig, create_train_state, train_step, val_step)
+    from ttscube_tpu.models.languasito import LanguasitoConfig
+    from ttscube_tpu.models.lm import TransformerEncoder, load_local_lm
+    from ttscube_tpu.train.loop import train
+    from ttscube_tpu.utils.hf import HFTokenizer
+
+    make_corpus(tmp_path / "corpus", n=4)
+    tok = HFTokenizer(str(local_hf_dir))
+    ds = CubeganDataset(str(tmp_path / "corpus"), hf_tokenizer=tok)
+    assert len(ds) == 4, "hf validation dropped examples it shouldn't have"
+    assert "words_hf" in ds[0]["meta"]
+
+    enc = CubeganEncodings()
+    enc.compute(ds)
+    lm_config, lm_params = load_local_lm(str(local_hf_dir))
+    cfg = CubeganConfig(
+        languasito=LanguasitoConfig(
+            num_phones=len(enc.phon2int), num_speakers=len(enc.speaker2int),
+            max_pitch=enc.max_pitch, max_duration=enc.max_duration,
+            cond_type="hf", lm_dim=lm_config.hidden_size),
+        hifigan=TINY_HIFI, mpd_channels=(8, 16), msd_width=8)
+    model = Cubegan(cfg, lm=TransformerEncoder(lm_config))
+    collate = CubeganCollate(enc, min_frames=60, bucket_frames=60, bucket_phones=16,
+                             hf_conditioning=True, bucket_tokens=16)
+
+    X = collate([ds[0], ds[1]])
+    assert "x_tok_ids" in X and "x_word2tok" in X
+    example = {k: jnp.asarray(v) for k, v in X.items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    state = state.replace(params=dict(state.params, hf=jax.device_put(
+        jax.tree.map(jnp.asarray, lm_params))))
+
+    step = jax.jit(lambda s, b, r: train_step(model, s, b, r))
+    vstep = jax.jit(lambda s, b, r: val_step(model, s, b, r))
+    final = train(state=state, train_step=step, val_step=vstep,
+                  trainset=ds, devset=ds, collate=collate, batch_size=2,
+                  output_base=str(tmp_path / "m" / "cubegan"),
+                  selection_metric="loss_mel", max_epochs=1, log_every=1)
+    assert int(jax.device_get(final.step)) == 2
+    # pretrained encoder moved (b partition live), but only by ~lr=1e-6 amounts
+    b0 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(
+        jax.device_get(jax.tree.map(jnp.asarray, lm_params)))])
+    b1 = np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree.leaves(
+        jax.device_get(final.params["hf"]))])
+    assert not np.allclose(b0, b1)
+    assert np.abs(b0 - b1).max() < 1e-4
+
+
+def test_train_cli_fails_fast_on_bad_lm_specs(tmp_path, monkeypatch):
+    import scripts.train_cubegan as tc
+
+    class Args:
+        output_base = str(tmp_path / "out")
+        batch_size = 2
+        train_folder = str(tmp_path)
+        dev_folder = str(tmp_path)
+        sample_rate = 24000
+        hop_size = 240
+        lr = 2e-4
+        epoch_generation = 0
+        generation_limit = -1
+        max_epochs = 1
+        max_steps = -1
+        mesh_data = 1
+        mesh_model = 1
+        opt_save_every = 1
+        resume = False
+
+    a = Args()
+    a.lm = "hf:/nonexistent/model/dir"
+    with pytest.raises(SystemExit, match="local model directory"):
+        tc._train(a)
+    a.lm = "bogus:whatever"
+    with pytest.raises(SystemExit, match="unknown --lm spec"):
+        tc._train(a)

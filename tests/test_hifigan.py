@@ -96,3 +96,30 @@ def test_generator_grads_flow(gen_and_params):
     flat = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
     assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+def test_chunked_generator_matches_full():
+    """generate_chunked must reproduce the full-utterance generator exactly (window
+    halo ≥ receptive field; zero halos coincide with the conv stack's own zero
+    padding at the true boundaries) — the memory-bounded long-form path."""
+    from ttscube_tpu.models.hifigan import generate_chunked
+
+    cfg = HifiganConfig(upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 3),))
+    g = Generator(cfg)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (2, 60, 80))
+    params = g.init(jax.random.PRNGKey(0), cond)
+    full = np.asarray(g.apply(params, cond))
+
+    apply_fn = lambda c: g.apply(params, c)
+    chunked = np.asarray(jax.jit(
+        lambda c: generate_chunked(apply_fn, c, cfg.total_upsample,
+                                   chunk=24, halo=16))(cond))
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(chunked, full, atol=2e-6)
+
+    # short inputs bypass chunking entirely
+    short = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 80))
+    out = generate_chunked(apply_fn, short, cfg.total_upsample, chunk=24, halo=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(g.apply(params, short)),
+                               atol=1e-6)

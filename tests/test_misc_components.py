@@ -4,6 +4,7 @@ profiling utilities, Mel2Style/blocks."""
 import json
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -90,3 +91,48 @@ def test_blocks_smoke():
     v = pn.init(jax.random.PRNGKey(0), x)
     out = pn.apply(v, x)
     assert out.shape == x.shape
+
+
+def test_upsamplenet2_matches_torch():
+    """UpsampleNet2 (vestigial inventory module, reference modules.py:357-375) must
+    reproduce torch's weight-norm ConvTranspose2d + LeakyReLU(0.4) stack."""
+    torch = pytest.importorskip("torch")
+
+    from ttscube_tpu.models.blocks import UpsampleNet2
+
+    scales = (2, 3)
+
+    class TorchUp2(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            mods = []
+            for s in scales:
+                c = torch.nn.utils.weight_norm(torch.nn.ConvTranspose2d(
+                    1, 1, (3, 2 * s), padding=(1, s // 2), stride=(1, s)))
+                torch.nn.init.kaiming_normal_(c.weight_v)
+                mods.append(c)
+            self.ups = torch.nn.ModuleList(mods)
+
+        def forward(self, c):  # (B, C, T)
+            c = c.unsqueeze(1)
+            for f in self.ups:
+                c = torch.nn.functional.leaky_relu(f(c), 0.4)
+            return c.squeeze(1)
+
+    torch.manual_seed(0)
+    tm = TorchUp2().eval()
+    x = torch.randn(2, 80, 12)
+    with torch.no_grad():
+        want = tm(x).numpy()
+
+    params = {}
+    for i, conv in enumerate(tm.ups):
+        params[f"v_{i}"] = jnp.asarray(conv.weight_v.detach().numpy()[0, 0])
+        params[f"g_{i}"] = jnp.asarray(conv.weight_g.detach().numpy().reshape(1))
+        params[f"bias_{i}"] = jnp.asarray(conv.bias.detach().numpy())
+
+    model = UpsampleNet2(upsample_scales=scales)
+    got = model.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+    got = np.asarray(got).transpose(0, 2, 1)  # (B, C, T·6)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -67,6 +67,46 @@ def test_parallel_synthesis_across_mesh():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=2e-4)
 
 
+def test_opt_moments_shard_with_params():
+    """Adam moments of model-sharded params must carry the param's sharding (no
+    replicated full-size moment copies when model>1)."""
+    from ttscube_tpu.parallel.mesh import partition_opt_state
+
+    mesh = make_mesh(model=2)
+    model = tiny_model()
+    batch = toy_batch(B=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch)
+    param_sh = partition_params(state.params, mesh, min_size=2**12)
+    opt_sh = partition_opt_state(state.opt_state, state.params, mesh, param_sh)
+
+    flat_p = {jax.tree_util.keystr(k): s
+              for k, s in jax.tree_util.tree_flatten_with_path(param_sh)[0]}
+    n_matched = 0
+    for path, sh in jax.tree_util.tree_flatten_with_path(opt_sh)[0]:
+        ks = jax.tree_util.keystr(path)
+        for pks, psh in flat_p.items():
+            if ks.endswith(pks) and ks != pks:
+                assert sh == psh, f"{ks} sharding != its param's"
+                if any(x is not None for x in psh.spec):
+                    n_matched += 1
+                break
+    assert n_matched > 0, "no sharded moments found (tp memory win lost)"
+
+
+def test_mesh_train_multi_step_single_compile():
+    """10 mesh steps must reuse one executable (no per-call retrace/recompile)."""
+    mesh = make_mesh(model=2)
+    model = tiny_model()
+    batch = toy_batch(B=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch)
+    step = make_parallel_train_step(model, mesh, train_step)
+    for i in range(10):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 10
+    assert np.isfinite(float(metrics["loss_g"]))
+    assert step.jitted()._cache_size() == 1, "mesh train step retraced across calls"
+
+
 def test_data_parallel_matches_single_device():
     """DP over the mesh must give the same losses as single-device (same batch, key)."""
     model = tiny_model()

@@ -65,6 +65,43 @@ def test_m2m_teacher_forced_and_free_run():
     assert pl_.shape == (B, 16, 60) and finished.shape == (B, 16)
 
 
+def test_m2m_validation_scores_free_running_decode():
+    """phonemizer_val_step must score M2M PACC/SACC from a free-running decode — the
+    reference deletes y_phon before the validation forward (phonemizer.py:221-246);
+    teacher-forced scoring inflates accuracy because the decoder is fed gold history."""
+    from ttscube_tpu.train.states import create_phonemizer_state, phonemizer_val_step
+
+    model = PhonemizerM2M(CFG)
+    B, S, T = 2, 20, 12
+    rng = np.random.default_rng(3)
+    X = char_batch(B, S, key=3)
+    X["x_word_start"] = jnp.asarray([[0, 5, 10, 15]] * B)
+    X["x_word_stop"] = jnp.asarray([[5, 10, 15, 20]] * B)
+    X["x_num_words"] = jnp.asarray([4, 4])
+    X["y_phon"] = jnp.asarray(rng.integers(1, 60, (B, T)))
+    X["y_new_word"] = jnp.asarray(rng.integers(1, 3, (B, T)))
+
+    state = create_phonemizer_state(model, jax.random.PRNGKey(1), X)
+    metrics = phonemizer_val_step(model, state, X)
+
+    tf_logits, _, _ = model.apply({"params": state.params}, X)
+    X_free = {k: v for k, v in X.items() if k not in ("y_phon", "y_new_word")}
+    free_logits, _, _ = model.apply({"params": state.params}, X_free, max_steps=T)
+
+    # the two decodes genuinely diverge (teacher history changes the trajectory) —
+    # otherwise the equality below would not distinguish them
+    assert not np.array_equal(np.argmax(np.asarray(tf_logits), -1),
+                              np.argmax(np.asarray(free_logits), -1))
+
+    def pacc(logits):
+        acc = phonemizer_accuracy(logits, X["y_phon"])
+        return 1.0 - float(acc["perr"]) / max(float(acc["phones"]), 1.0)
+
+    assert float(metrics["pacc"]) == pytest.approx(pacc(free_logits), abs=1e-6)
+    if pacc(free_logits) != pacc(tf_logits):
+        assert float(metrics["pacc"]) != pytest.approx(pacc(tf_logits), abs=1e-6)
+
+
 def test_seq2seq_g2p():
     cfg = Seq2SeqConfig(num_input_tokens=30, num_output_tokens=40)
     model = Seq2Seq(cfg)

@@ -48,19 +48,47 @@ class TTSCube:
         hifi_kwargs = {k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
                            if isinstance(v, list) else v)
                        for k, v in (conf.get("hifigan") or {}).items()}
+        lm = None
+        lm_config = None
+        if cond_type == "hf":
+            from ttscube_tpu.models.lm import LMConfig, TransformerEncoder
+
+            lm_config = LMConfig(**conf["lm_config"])
+            lm = TransformerEncoder(lm_config)
         self.config = CubeganConfig(
             languasito=LanguasitoConfig(
                 num_phones=len(encodings.phon2int),
                 num_speakers=len(encodings.speaker2int),
                 max_pitch=encodings.max_pitch,
                 max_duration=encodings.max_duration,
-                cond_type=cond_type),
+                cond_type=cond_type,
+                lm_dim=lm_config.hidden_size if lm_config is not None else None),
             hifigan=HifiganConfig(**hifi_kwargs),
             sample_rate=conf.get("sample_rate", 24000),
             hop_size=conf.get("hop_size", 240),
         )
-        self.model = Cubegan(self.config, train=False)
-        self.collate = CubeganCollate(encodings, hop=self.config.hop_size)
+        self.model = Cubegan(self.config, train=False, lm=lm)
+
+        # conditioned models need a word_embedder to produce x_words at inference
+        # (reference api.py:22-25 rebuilds the fastText model; we ship the table)
+        word_embedder = None
+        self.hf_frontend = None
+        if cond_type == "fasttext":
+            from ttscube_tpu.utils.wordvec import WordVectors
+
+            wv_path = model_path + ".wordvec.npz"
+            if not os.path.exists(wv_path):
+                raise FileNotFoundError(
+                    f"model is fasttext-conditioned but '{wv_path}' is missing — "
+                    "re-export with scripts/export_model.py --wordvec <table>")
+            word_embedder = WordVectors.load_npz(wv_path)
+        elif cond_type == "hf":
+            from ttscube_tpu.utils.hfcond import HFCondFrontend
+
+            self.hf_frontend = HFCondFrontend.from_packaged(model_path)
+        self.collate = CubeganCollate(encodings, word_embedder=word_embedder,
+                                      hop=self.config.hop_size,
+                                      hf_conditioning=cond_type == "hf")
 
         # synthesis params template {lang, gen} → load msgpack
         template = self._init_template()
@@ -99,7 +127,11 @@ class TTSCube:
             lang = self.model.languasito.init(rng, batch)["params"]
             gen = self.model.generator.init(jax.random.fold_in(rng, 1),
                                             jnp.zeros((1, 4, 80)))["params"]
-            return {"lang": lang, "gen": gen}
+            params = {"lang": lang, "gen": gen}
+            if self.model.lm is not None:
+                params["hf"] = self.model.lm.init(
+                    jax.random.fold_in(rng, 2), jnp.zeros((1, 8), jnp.int32))["params"]
+            return params
 
         if jax.default_backend() == "cpu":
             return jax.device_get(init(jax.random.PRNGKey(0)))
@@ -110,6 +142,7 @@ class TTSCube:
 
         from ttscube_tpu.models.languasito import Languasito2
 
+        X = self.model.lm_condition(params, X)
         dur_logits, _, _ = self.model.languasito.apply(
             {"params": params["lang"]}, X,
             method=lambda m, X: m.text_forward(
@@ -140,6 +173,8 @@ class TTSCube:
         meta = self.text2feat(text)
         meta["speaker"] = speaker
         meta["frame2phon"] = [0]  # placeholder; free synthesis predicts durations
+        if self.hf_frontend is not None:
+            meta = self.hf_frontend(meta)
         example = {"meta": meta, "mgc": np.zeros((8, 80), np.float32),
                    "pitch": np.zeros((8,), np.float32)}
         X = self.collate([example])

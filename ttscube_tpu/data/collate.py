@@ -20,6 +20,27 @@ import numpy as np
 from ttscube_tpu.data.encodings import CubeganEncodings, PhonemizerEncodings
 
 DURATION_CAP = 100  # frames (reference io_cubegan.py:216-218)
+HF_MAX_TOKENS = 512  # transformer context window (reference io_cubegan.py:246-277)
+
+
+def hf_sliding_window(left_ids, center_ids, right_ids, word2tok):
+    """Slide a 512-token window over left+center+right context so the center sentence
+    fits, remapping word→token coordinates (reference ``_get_hf_ids``
+    io_cubegan.py:246-277: start=0/offset=len(left) when left+center ≤ 512, else
+    start=center+left−512, offset=left−start).
+
+    Returns (tok_ids ≤512, {word_index: token_position}) — positions are into the
+    returned window."""
+    l_size = len(left_ids)
+    c_size = len(center_ids)
+    if l_size + c_size <= HF_MAX_TOKENS:
+        start, offset = 0, l_size
+    else:
+        start = c_size + l_size - HF_MAX_TOKENS
+        offset = l_size - start
+    toks = (list(left_ids) + list(center_ids) + list(right_ids))[start:][:HF_MAX_TOKENS]
+    w2t = {int(w): int(t) + offset for w, t in word2tok.items()}
+    return toks, w2t
 
 
 def _bucket(n: int, step: int) -> int:
@@ -45,13 +66,16 @@ class CubeganCollate:
 
     def __init__(self, encodings: CubeganEncodings, word_embedder=None,
                  bucket_phones: int = 32, bucket_frames: int = 64, hop: int = 240,
-                 min_frames: int = 60):
+                 min_frames: int = 60, hf_conditioning: bool = False,
+                 bucket_tokens: int = 64):
         self.encodings = encodings
         self.word_embedder = word_embedder
         self.bucket_phones = bucket_phones
         self.bucket_frames = bucket_frames
         self.hop = hop
         self.min_frames = min_frames  # ≥ GAN train window + a margin
+        self.hf_conditioning = hf_conditioning  # emit x_tok_ids/x_tok_mask/x_word2tok
+        self.bucket_tokens = bucket_tokens
 
     def __call__(self, batch: list[dict]):
         enc = self.encodings
@@ -130,7 +154,42 @@ class CubeganCollate:
         }
         if x_words is not None:
             out["x_words"] = x_words
+        if self.hf_conditioning:
+            out.update(self._hf_windows(batch))
         return out
+
+    def _hf_windows(self, batch):
+        """Dense HF-conditioning arrays: token windows + word→token gather indices.
+
+        `x_word2tok[i, w]` = position of word w's word-start subtoken (as produced by
+        HFTokenizer) in `x_tok_ids[i]`, + 1;
+        0 means missing/pad (the model prepends a zero row — reference
+        ``_expand_i_hf`` modules.py:1055-1077 does the same with invalid→0)."""
+        windows = []
+        for e in batch:
+            meta = e["meta"]
+            toks, w2t = hf_sliding_window(
+                meta.get("words_left_hf", {}).get("tok_ids", []),
+                meta["words_hf"]["tok_ids"],
+                meta.get("words_right_hf", {}).get("tok_ids", []),
+                meta["words_hf"]["word2tok"])
+            windows.append((toks, w2t))
+        B = len(batch)
+        T = min(_bucket(max(len(t) for t, _ in windows), self.bucket_tokens),
+                HF_MAX_TOKENS)
+        W = max(max((max(w) + 1) if w else 1 for _, w in windows), 1)
+        x_tok_ids = np.zeros((B, T), np.int32)
+        x_tok_mask = np.zeros((B, T), bool)
+        x_word2tok = np.zeros((B, W), np.int32)
+        for i, (toks, w2t) in enumerate(windows):
+            n = min(len(toks), T)
+            x_tok_ids[i, :n] = toks[:n]
+            x_tok_mask[i, :n] = True
+            for w, t in w2t.items():
+                if 0 <= w < W and 0 <= t < n:
+                    x_word2tok[i, w] = t + 1
+        return {"x_tok_ids": x_tok_ids, "x_tok_mask": x_tok_mask,
+                "x_word2tok": x_word2tok}
 
 
 class TextcoderCollate(CubeganCollate):

@@ -20,12 +20,27 @@ from ttscube_tpu.data.text import SimpleTokenizer
 from ttscube_tpu.utils.wavio import read_wav
 
 MAX_PHONE_FRAMES = 400  # drop utterances with any phone longer than this (io_cubegan.py:44-47)
+HF_MAX_TOKENS = 512     # transformer context window (io_cubegan.py:54-76, 246-277)
+
+
+def _hf_example_valid(example: dict) -> bool:
+    """Reference io_cubegan.py:54-76: all three token windows must be <512 tokens and
+    every word2tok entry must index inside its token list."""
+    for key in ("words_hf", "words_left_hf", "words_right_hf"):
+        part = example[key]
+        if len(part["tok_ids"]) >= HF_MAX_TOKENS:
+            return False
+        for w, t in part["word2tok"].items():
+            if t < 0 or t >= len(part["tok_ids"]):
+                return False
+    return True
 
 
 class CubeganDataset:
     """Scans a folder of per-utterance {id}.{mgc,pitch,json,wav} artifacts."""
 
-    def __init__(self, base_path: str, hold_audio_in_ram: bool = False):
+    def __init__(self, base_path: str, hold_audio_in_ram: bool = False,
+                 hf_tokenizer=None):
         self._base_path = base_path
         self._examples: list[dict] = []
         tok = SimpleTokenizer()
@@ -45,6 +60,14 @@ class CubeganDataset:
                 continue
             example["words_left"] = [t.word for t in tok(example.get("left_context", ""))]
             example["words_right"] = [t.word for t in tok(example.get("right_context", ""))]
+            if hf_tokenizer is not None:
+                # pre-tokenize for HF conditioning and drop examples whose windows
+                # can't be validated (reference io_cubegan.py:54-76)
+                example["words_hf"] = hf_tokenizer(example["words"])
+                example["words_left_hf"] = hf_tokenizer(example["words_left"])
+                example["words_right_hf"] = hf_tokenizer(example["words_right"])
+                if not _hf_example_valid(example):
+                    continue
             self._examples.append(example)
 
     def __len__(self):

@@ -127,6 +127,39 @@ class UpsampleNet(nn.Module):
         return c
 
 
+class UpsampleNet2(nn.Module):
+    """2-D weight-norm transposed-conv time upsampler (reference modules.py:357-375;
+    vestigial — not instantiated by the reference's live paths, kept for inventory
+    parity). Treats (C, T) as a one-channel image; each stage upsamples time by `s`
+    with a (3, 2s) kernel, stride (1, s), padding (1, s//2), then LeakyReLU(0.4).
+
+    Input (B, T, C) → (B, T·prod(upsample_scales), C)."""
+
+    upsample_scales: tuple[int, ...] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, c):
+        x = jnp.swapaxes(c, 1, 2)[..., None]  # (B, C, T, 1) NHWC
+        for i, s in enumerate(self.upsample_scales):
+            kh, kw = 3, 2 * s
+            v = self.param(f"v_{i}", nn.initializers.kaiming_normal(), (kh, kw))
+            g = self.param(f"g_{i}",
+                           lambda k, sh, v=v: jnp.sqrt(jnp.sum(v * v))[None], (1,))
+            kernel = (v / jnp.sqrt(jnp.sum(v * v) + 1e-12) * g[0])
+            # torch ConvTranspose2d == conv over the stride-dilated input with the
+            # spatially-flipped kernel and padding k-1-p
+            kernel = jnp.flip(kernel, (0, 1))[:, :, None, None]
+            ph, pw = 1, s // 2
+            x = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 1),
+                padding=[(kh - 1 - ph,) * 2, (kw - 1 - pw,) * 2],
+                lhs_dilation=(1, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = x + self.param(f"bias_{i}", nn.initializers.zeros, (1,))
+            x = nn.leaky_relu(x, 0.4)
+        return jnp.swapaxes(x[..., 0], 1, 2)
+
+
 class Mel2Style(nn.Module):
     """GST-style attention over learned style tokens (reference modules.py:167-205)."""
 

@@ -135,6 +135,37 @@ class Generator(nn.Module):
         return audio[:, : mel.shape[1] * c.total_upsample]
 
 
+def generate_chunked(apply_fn, cond, upsample: int, chunk: int = 256, halo: int = 32):
+    """Memory-bounded generator inference: run `apply_fn` (mel/cond (B, F, C) → audio
+    (B, F·upsample)) over fixed-size frame windows with `halo` frames of context and
+    stitch the valid centers.
+
+    Exactness: the generator is a pure zero-padded conv stack, so a window padded with
+    zeros beyond the true signal boundaries reproduces the full-signal computation
+    bit-for-nearly-bit as long as `halo` ≥ the receptive field in frames (HiFi-GAN v1:
+    ~25 frames; default 32). Windows run sequentially under ``lax.scan`` — peak HBM is
+    ONE window's activations instead of the whole utterance (fixes the B=256 OOM noted
+    in round 1; enables long-form/streaming synthesis).
+    """
+    B, T, C = cond.shape
+    if T <= chunk:
+        return apply_fn(cond)
+    h = halo
+    cond_pad = jnp.pad(cond, ((0, 0), (h, h), (0, 0)))
+    starts = list(range(0, T - chunk, chunk)) + [T - chunk]
+    wins = jnp.stack([jax.lax.dynamic_slice_in_dim(cond_pad, s, chunk + 2 * h, axis=1)
+                      for s in starts])
+    audio_w = jax.lax.map(apply_fn, wins)  # (n, B, (chunk+2h)·upsample)
+    out = jnp.zeros((B, T * upsample), audio_w.dtype)
+    prev_end = 0
+    for i, s in enumerate(starts):
+        keep_from = prev_end - s  # skip frames already written by the previous window
+        seg = audio_w[i][:, (h + keep_from) * upsample: (h + chunk) * upsample]
+        out = jax.lax.dynamic_update_slice_in_dim(out, seg, prev_end * upsample, axis=1)
+        prev_end = s + chunk
+    return out
+
+
 class DiscriminatorP(nn.Module):
     """Period discriminator: fold (B, T) → (B, T/p, p, 1) and run strided 2-D convs."""
 

@@ -49,9 +49,12 @@ class LanguasitoConfig:
     max_pitch: float
     max_duration: int
     cond_type: Optional[str] = None  # None | "fasttext" | "hf"
+    lm_dim: Optional[int] = None  # override the x_words feature dim (hf hidden size)
 
     @property
     def lm_input_dim(self) -> int:
+        if self.lm_dim is not None:
+            return self.lm_dim
         return {"fasttext": 300, "hf": 768}.get(self.cond_type, 0)
 
 

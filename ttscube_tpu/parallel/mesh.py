@@ -61,59 +61,95 @@ def replicated(tree, mesh: Mesh):
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
 
 
+def partition_opt_state(opt_state, params, mesh: Mesh, param_sh=None):
+    """Sharding tree for the optimizer state: each moment leaf (Adam mu/nu, …) inherits
+    its param's sharding; counts/scalars replicate.
+
+    With model>1 this is what makes tensor parallelism a memory win — replicated Adam
+    moments for sharded params would force per-step all-gathers and keep full-size
+    copies on every chip. Moments are matched to params by key-path suffix + shape
+    (optax states embed the param tree under mu/nu, so a moment leaf's path ends with
+    its param's path); the longest matching param path wins.
+    """
+    if param_sh is None:
+        param_sh = partition_params(params, mesh)
+    pflat = jax.tree_util.tree_flatten_with_path(params)[0]
+    shflat = jax.tree_util.tree_flatten_with_path(param_sh)[0]
+    by_key = {
+        jax.tree_util.keystr(path): (np.shape(leaf), sh)
+        for (path, leaf), (_, sh) in zip(pflat, shflat)
+    }
+    rep = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        ks = jax.tree_util.keystr(path)
+        best = None
+        for pks, (shape, sh) in by_key.items():
+            if ks.endswith(pks) and np.shape(leaf) == shape:
+                if best is None or len(pks) > len(best[0]):
+                    best = (pks, sh)
+        return best[1] if best is not None else rep
+
+    return jax.tree_util.tree_map_with_path(rule, opt_state)
+
+
 def make_parallel_synthesis(model, mesh: Mesh, max_frames: int):
     """Batched multi-utterance synthesis across the mesh (SURVEY §7: serve-side
     scaling). Utterances shard over 'data'; params replicate (or shard over 'model'
-    via partition_params). Returns fn(params, X) → audio (B, max_frames·hop)."""
+    via partition_params). Returns fn(params, X) → audio (B, max_frames·hop).
+
+    The jitted function is built once on the first call and cached, so repeated
+    synthesis calls hit XLA's executable cache instead of re-tracing."""
 
     def infer(params, X):
         audio, _ = model.infer(params, X, max_frames=max_frames)
         return audio
 
-    def run(params, X):
-        param_sh = partition_params(params, mesh)
-        fn = jax.jit(infer,
-                     in_shardings=(param_sh, shard_batch(X, mesh)),
-                     out_shardings=NamedSharding(mesh, P("data")))
-        with mesh:
-            return fn(params, X)
+    cache = {}
 
+    def run(params, X):
+        if "fn" not in cache:
+            cache["fn"] = jax.jit(
+                infer,
+                in_shardings=(partition_params(params, mesh), shard_batch(X, mesh)),
+                out_shardings=NamedSharding(mesh, P("data")))
+        with mesh:
+            return cache["fn"](params, X)
+
+    run.jitted = lambda: cache.get("fn")
     return run
 
 
 def make_parallel_train_step(model, mesh: Mesh, train_step_fn):
     """jit a (state, batch, rng) → (state, metrics) step over the mesh.
 
-    State shardings are derived from the params partition (optimizer state follows its
-    param); the batch is sharded over 'data'. XLA emits the psum/all-gather collectives.
-    """
+    State shardings are derived from the params partition (optimizer moments follow
+    their params via ``partition_opt_state``); the batch is sharded over 'data'. XLA
+    emits the psum/all-gather collectives. The jit wrapper is constructed once (first
+    call) and cached — a multi-step training run compiles exactly once."""
 
     def wrapped(state, batch, rng):
         return train_step_fn(model, state, batch, rng)
 
-    def place(state, batch):
-        param_sh = partition_params(state.params, mesh)
-
-        def opt_rule(x):
-            # optimizer moments share their param's sharding when shapes line up;
-            # everything else (counts, scalars) is replicated.
-            return NamedSharding(mesh, P())
-
-        state_sh = type(state)(
-            params=param_sh,
-            opt_state=jax.tree.map(opt_rule, state.opt_state),
-            spectral=replicated(state.spectral, mesh),
-            step=NamedSharding(mesh, P()),
-        )
-        batch_sh = shard_batch(batch, mesh)
-        return state_sh, batch_sh
+    cache = {}
 
     def run(state, batch, rng):
-        state_sh, batch_sh = place(state, batch)
-        fn = jax.jit(wrapped,
-                     in_shardings=(state_sh, batch_sh, NamedSharding(mesh, P())),
-                     out_shardings=(state_sh, NamedSharding(mesh, P())))
+        if "fn" not in cache:
+            param_sh = partition_params(state.params, mesh)
+            state_sh = type(state)(
+                params=param_sh,
+                opt_state=partition_opt_state(state.opt_state, state.params, mesh,
+                                              param_sh),
+                spectral=replicated(state.spectral, mesh),
+                step=NamedSharding(mesh, P()),
+            )
+            rep = NamedSharding(mesh, P())
+            cache["fn"] = jax.jit(
+                wrapped,
+                in_shardings=(state_sh, shard_batch(batch, mesh), rep),
+                out_shardings=(state_sh, rep))
         with mesh:
-            return fn(state, batch, rng)
+            return cache["fn"](state, batch, rng)
 
+    run.jitted = lambda: cache.get("fn")
     return run

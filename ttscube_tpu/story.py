@@ -15,13 +15,24 @@ SR = 24000
 
 
 class StoryCube:
-    def __init__(self, base_model: str, music_path: str | None = None):
-        self._cube = TTSCube.load(base_model)
-        if music_path is None:
+    """`base_model` may be a downloadable model name (TTSCube.load), a local model
+    base path pair "path/to/cubegan:path/to/phonemizer", or an already-constructed
+    TTSCube instance — so locally trained models work without packaging/downloading."""
+
+    def __init__(self, base_model, music_path: str | None = None):
+        if isinstance(base_model, TTSCube):
+            self._cube = base_model
+        elif isinstance(base_model, str) and ":" in base_model:
+            cubegan_base, phonemizer_base = base_model.split(":", 1)
+            self._cube = TTSCube(cubegan_base, phonemizer_base)
+        else:
+            self._cube = TTSCube.load(base_model)
+        if music_path is None and isinstance(base_model, str) and ":" not in base_model:
             music_path = os.path.join(str(Path.home()), ".ttscube", "models",
                                       base_model, "music.wav")
         self._default_music = (read_wav(music_path, target_sr=SR)[0]
-                               if os.path.exists(music_path) else np.zeros(SR))
+                               if music_path and os.path.exists(music_path)
+                               else np.zeros(SR))
 
     def __call__(self, text: str, speaker: str = "none",
                  background_music_path: str | None = None) -> dict:

@@ -65,12 +65,19 @@ def phonemizer_train_step(model, state: SimpleState, batch, rng=None, lr: float 
 
 
 def phonemizer_val_step(model, state: SimpleState, batch, rng=None):
-    """Returns loss + PACC/SACC counters (reference phonemizer.py:69-92, 248-274)."""
+    """Returns loss + PACC/SACC counters (reference phonemizer.py:69-92, 248-274).
+
+    For the M2M class, PACC/SACC are scored from a FREE-RUNNING decode — the reference
+    deletes ``y_phon`` before the validation forward (phonemizer.py:221-246), so the
+    decoder consumes its own predictions; teacher-forced logits would inflate accuracy
+    (model selection via .pacc.best/.sacc.best relies on this)."""
     m2m = isinstance(model, PhonemizerM2M)
     if m2m:
         pl_, nw, _ = model.apply({"params": state.params}, batch)
         loss = m2m_loss(pl_, nw, batch["y_phon"], batch["y_new_word"])
-        logits = pl_
+        X_free = {k: v for k, v in batch.items() if k not in ("y_phon", "y_new_word")}
+        logits, _, _ = model.apply({"params": state.params}, X_free,
+                                   max_steps=batch["y_phon"].shape[1])
     else:
         logits = model.apply({"params": state.params}, batch)
         loss = phonemizer_loss(logits, batch["y_phon"])

@@ -1,8 +1,10 @@
 """HF tokenizer with word→token alignment (reference ``cube/utils/hf.py``).
 
-Maps a word list to subtoken ids plus a `word2tok` index (the last subtoken of each
-word), using the SentencePiece '▁' word-start convention. Requires `transformers` with a
-reachable model; network-free environments should use precomputed embeddings instead.
+Maps a word list to subtoken ids plus a `word2tok` index (the word-start '▁' subtoken
+of each word; the walk can also emit one trailing sentinel entry keyed past the last
+word when that word has continuation subtokens — the reference does the same and its
+`_expand_i_hf` gather simply never reads it). Requires `transformers` with a *local*
+model directory in network-free environments.
 """
 
 from __future__ import annotations

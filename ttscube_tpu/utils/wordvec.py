@@ -12,6 +12,8 @@ over a small bucket table (a lightweight stand-in for fastText's subword behavio
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 N_OOV_BUCKETS = 4096
@@ -74,7 +76,9 @@ class WordVectors:
         acc = np.zeros(self.dim, np.float32)
         n = 0
         for i in range(len(word) - 2):
-            h = hash(word[i : i + 3]) % N_OOV_BUCKETS
+            # crc32, not builtin hash(): PYTHONHASHSEED randomizes hash() per process,
+            # which would give different OOV embeddings at train vs inference time
+            h = zlib.crc32(word[i : i + 3].encode("utf-8")) % N_OOV_BUCKETS
             acc += self._oov[h]
             n += 1
         return acc / max(n, 1)
@@ -95,8 +99,11 @@ def make_word_embedder(spec: str):
     if not spec:
         return None
     kind, _, path = spec.partition(":")
+    if kind == "hf":
+        return None  # hf conditioning runs in-model (models/lm.py), not in the collate
     if kind != "fasttext":
-        return None  # hf conditioning uses precomputed embeddings via its own path
+        raise ValueError(f"unknown LM conditioning spec '{spec}' "
+                         "(expected fasttext:<path> or hf:<dir>)")
     if path.endswith(".npz"):
         return WordVectors.load_npz(path)
     return WordVectors.load_vec(path)
