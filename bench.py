@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def main(batch: int = 128, chunk: int = 0):
+def main(batch: int = 128, chunk: int = 0, fused: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +30,9 @@ def main(batch: int = 128, chunk: int = 0):
     cfg = CubeganConfig(
         languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
                                     max_duration=100),
-        hifigan=HifiganConfig())
+        # fused_tail: C=32 tail resblocks as single pallas kernels (1.40x generator
+        # speedup on v5e, exact to ~1e-4 vs the flax path — ops/pallas_resblock.py)
+        hifigan=HifiganConfig(fused_tail=fused))
     model = Cubegan(cfg, train=False)
 
     rng = np.random.default_rng(0)
@@ -95,5 +97,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=0,
                     help="generator window frames (0 = whole utterance)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the pallas fused generator tail")
     args = ap.parse_args()
-    main(batch=args.batch, chunk=args.chunk)
+    main(batch=args.batch, chunk=args.chunk, fused=not args.no_fused)

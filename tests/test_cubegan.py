@@ -196,3 +196,31 @@ def test_inference_path(setup):
     audio, aux = infer(state.params, Xi)
     assert audio.shape == (2, 64 * 240)
     assert np.abs(np.asarray(audio)).max() <= 1.0
+
+
+def test_inference_fused_tail_matches_flax():
+    """Cubegan.infer with hifigan.fused_tail=True (pallas C=32 tail resblocks,
+    interpret mode on CPU) must match the flax generator path."""
+    import dataclasses
+
+    hifi = HifiganConfig(
+        upsample_rates=(5, 3, 4, 4),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=64,  # stage 0 runs at ch=32 -> fused
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    cfg = CubeganConfig(
+        languasito=LanguasitoConfig(num_phones=30, num_speakers=3, max_pitch=400,
+                                    max_duration=100),
+        hifigan=hifi, mpd_channels=(8, 16), msd_width=8)
+    model = Cubegan(cfg)
+    batch = toy_batch()
+    state = create_train_state(model, jax.random.PRNGKey(0), batch)
+    Xi = {k: v for k, v in batch.items() if k.startswith("x_")}
+
+    model_fused = Cubegan(dataclasses.replace(cfg, hifigan=dataclasses.replace(
+        hifi, fused_tail=True)), train=False)
+    want, _ = jax.jit(lambda p, x: model.infer(p, x, max_frames=48))(state.params, Xi)
+    got, _ = jax.jit(lambda p, x: model_fused.infer(p, x, max_frames=48))(state.params, Xi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)

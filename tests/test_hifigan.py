@@ -109,6 +109,11 @@ def test_chunked_generator_matches_full():
     g = Generator(cfg)
     cond = jax.random.normal(jax.random.PRNGKey(3), (2, 60, 80))
     params = g.init(jax.random.PRNGKey(0), cond)
+    # nonzero biases: flax inits them to zero, which would mask boundary-semantics
+    # bugs (conv(0)+bias ≠ 0 leaking through chained windows)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.05 * np.sin(np.arange(x.size)).reshape(x.shape).astype(x.dtype)
+        if "bias" in jax.tree_util.keystr(p) else x, params)
     full = np.asarray(g.apply(params, cond))
 
     apply_fn = lambda c: g.apply(params, c)

@@ -48,6 +48,9 @@ class TTSCube:
         hifi_kwargs = {k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
                            if isinstance(v, list) else v)
                        for k, v in (conf.get("hifigan") or {}).items()}
+        # serving default: fused pallas tail resblocks (1.40x generator speedup on
+        # v5e, exact vs the flax path); a checkpoint yaml can opt out explicitly
+        hifi_kwargs.setdefault("fused_tail", True)
         lm = None
         lm_config = None
         if cond_type == "hf":

@@ -129,7 +129,12 @@ class Cubegan:
         X = self.lm_condition(params, X)
         cond, aux = self.languasito.apply(
             {"params": params["lang"]}, X, max_frames, method=Languasito2.infer)
-        gen = lambda c: self.generator.apply({"params": params["gen"]}, c)
+        if self.config.hifigan.fused_tail:
+            from ttscube_tpu.models.hifigan_fused import generator_apply_fused
+
+            gen = lambda c: generator_apply_fused(params["gen"], c, self.config.hifigan)
+        else:
+            gen = lambda c: self.generator.apply({"params": params["gen"]}, c)
         if chunk_frames is not None:
             from ttscube_tpu.models.hifigan import generate_chunked
 

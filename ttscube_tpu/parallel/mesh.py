@@ -109,10 +109,15 @@ def make_parallel_synthesis(model, mesh: Mesh, max_frames: int):
 
     def run(params, X):
         if "fn" not in cache:
+            cache["param_sh"] = partition_params(params, mesh)
             cache["fn"] = jax.jit(
                 infer,
-                in_shardings=(partition_params(params, mesh), shard_batch(X, mesh)),
+                in_shardings=(cache["param_sh"], shard_batch(X, mesh)),
                 out_shardings=NamedSharding(mesh, P("data")))
+        # commit inputs to their target shardings — a no-op when already placed;
+        # otherwise the first (uncommitted) call and later (committed) calls would
+        # occupy two executable-cache entries
+        params = jax.device_put(params, cache["param_sh"])
         with mesh:
             return cache["fn"](params, X)
 
@@ -144,10 +149,16 @@ def make_parallel_train_step(model, mesh: Mesh, train_step_fn):
                 step=NamedSharding(mesh, P()),
             )
             rep = NamedSharding(mesh, P())
+            cache["state_sh"] = state_sh
             cache["fn"] = jax.jit(
                 wrapped,
                 in_shardings=(state_sh, shard_batch(batch, mesh), rep),
                 out_shardings=(state_sh, rep))
+        # commit the state to its target shardings — a no-op for the sharded outputs
+        # of a previous step; shards the initial (uncommitted) state once. Without
+        # this the uncommitted first call and committed later calls occupy two
+        # executable-cache entries (a hidden recompile on step 2).
+        state = jax.device_put(state, cache["state_sh"])
         with mesh:
             return cache["fn"](state, batch, rng)
 
