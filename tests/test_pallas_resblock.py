@@ -40,6 +40,82 @@ def test_fused_resblock_matches_plain(C, fold, k, dils, T):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_fused_mrf_stage_matches_plain():
+    """Whole-MRF kernel (3 resblocks, different k, averaged) vs the plain chain."""
+    from ttscube_tpu.ops.pallas_resblock import fused_mrf1
+
+    C, fold, T = 32, 4, 2000  # rows (500) not a tile multiple of 256 either
+    ks = (3, 7, 11)
+    dils = ((1, 3, 5),) * 3
+    key = jax.random.PRNGKey(0)
+    kernels, biases = [], []
+    for j, k in enumerate(ks):
+        ka, ba = _rand_block(jax.random.fold_in(key, j), C, k, dils[j])
+        kernels += ka
+        biases += ba
+    x = jax.random.normal(jax.random.fold_in(key, 9), (2, T, C))
+
+    acc = None
+    i = 0
+    for j, k in enumerate(ks):
+        h = _plain_resblock1(x, kernels[i:i + 6], biases[i:i + 6], dils[j])
+        acc = h if acc is None else acc + h
+        i += 6
+    want = acc / len(ks)
+    got = fused_mrf1(x, kernels, biases, kernel_sizes=ks, dilations=dils,
+                     fold=fold, rows_per_tile=256, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_tail_stage_matches_plain_ops():
+    """Whole-tail kernel (leaky -> transpose-conv upsample -> MRF -> leaky ->
+    conv_post -> tanh) vs the plain XLA op chain, incl. sequence boundaries."""
+    import jax.nn
+    from ttscube_tpu.ops.conv import _conv, _conv_transpose
+    from ttscube_tpu.ops.pallas_resblock import fused_tail_stage
+
+    C_in, C_out, fold, T_in = 64, 32, 4, 700  # rows not a tile multiple of 256
+    ks = (3, 7)
+    dils = ((1, 3), (1, 3, 5))
+    key = jax.random.PRNGKey(5)
+    up_kernel = 0.2 * jax.random.normal(key, (fold, C_out, C_in)) / np.sqrt(C_in)
+    up_bias = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (C_out,))
+    kernels, biases = [], []
+    for j, k in enumerate(ks):
+        ka, ba = _rand_block(jax.random.fold_in(key, 2 + j), C_out, k, dils[j])
+        kernels += ka
+        biases += ba
+    post_kernel = 0.3 * jax.random.normal(jax.random.fold_in(key, 9), (7, C_out, 1))
+    post_bias = jnp.asarray([0.05])
+    z = jax.random.normal(jax.random.fold_in(key, 10), (2, T_in, C_in))
+
+    x = _conv_transpose(jax.nn.leaky_relu(z, 0.1), up_kernel, fold, 0) + up_bias
+    acc = None
+    i = 0
+    for j, k in enumerate(ks):
+        h = _plain_resblock1(x, kernels[i:i + 2 * len(dils[j])],
+                             biases[i:i + 2 * len(dils[j])], dils[j])
+        acc = h if acc is None else acc + h
+        i += 2 * len(dils[j])
+    y = jax.nn.leaky_relu(acc / len(ks), 0.01)
+    want_audio = np.asarray(jnp.tanh(_conv(y, post_kernel, 1, 3, 1, 1) + post_bias))[..., 0]
+
+    got = fused_tail_stage(z, up_kernel, up_bias, kernels, biases,
+                           kernel_sizes=ks, dilations=dils, fold=fold,
+                           post_kernel=post_kernel, post_bias=post_bias,
+                           with_post=True, rows_per_tile=256, interpret=True)
+    assert got.shape == want_audio.shape
+    np.testing.assert_allclose(np.asarray(got), want_audio, atol=3e-5)
+
+    # without post: returns the stage activation
+    want_x = np.asarray(acc / len(ks))
+    got_x = fused_tail_stage(z, up_kernel, up_bias, kernels, biases,
+                             kernel_sizes=ks, dilations=dils, fold=fold,
+                             rows_per_tile=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_x), want_x, atol=3e-5)
+
+
 def test_fused_generator_matches_flax_generator():
     """End-to-end: generator_apply_fused on the canonical param tree must equal
     Generator.apply (stages fuse where C·fold == 128, fall back elsewhere)."""
@@ -51,6 +127,25 @@ def test_fused_generator_matches_flax_generator():
     variables = g.init(jax.random.PRNGKey(0), mel)
     want = np.asarray(g.apply(variables, mel))
     got = np.asarray(generator_apply_fused(variables["params"], mel, cfg,
+                                           rows_per_tile=256, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_fused_generator_full_config_tail_branch():
+    """Real HiFi-GAN v1 geometry (initial 512 -> last stage ch=32, k=u=fold=4):
+    exercises the whole-tail kernel (upsample+MRF+conv_post+tanh) branch."""
+    cfg = HifiganConfig(resblock_kernel_sizes=(3, 11),
+                        resblock_dilation_sizes=((1, 3), (1, 3, 5)))
+    g = Generator(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 80))
+    variables = g.init(jax.random.PRNGKey(0), mel)
+    # nonzero biases to exercise boundary masking
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.03 if "bias" in jax.tree_util.keystr(p) else x,
+        variables["params"])
+    want = np.asarray(g.apply({"params": params}, mel))
+    got = np.asarray(generator_apply_fused(params, mel, cfg,
                                            rows_per_tile=256, interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-5)

@@ -178,3 +178,311 @@ def fused_resblock1(x: jnp.ndarray, kernels, biases, *, kernel_size: int,
     )(xt, halo, *wps, *[jnp.tile(b, fold)[None] for b in biases])
     out = out.reshape(B, R_pad, FC)[:, :R]
     return out.reshape(B, T, C)
+
+
+def _tail_kernel(z_ref, halo_ref, wup_ref, bup_ref, *refs, pads_per_block, post_pads,
+                 n_out, HL, R, compute_dtype):
+    """One tile of the WHOLE generator tail stage:
+    leaky → transpose-conv upsample (k == stride == fold: each input sample yields
+    exactly one folded output row, so the upsample is ONE dense (rows, C_in)×(C_in,
+    128) matmul — zero FLOP inflation) → every MRF ResBlock1 chain → average →
+    leaky(0.01) → folded conv_post → tanh → audio rows.
+
+    The C=32 activation (4× the input, 32× the audio) never touches HBM."""
+    n_w = sum(len(p) for p in pads_per_block)
+    wrefs = refs[:n_w]
+    brefs = refs[n_w:2 * n_w]
+    has_post = post_pads is not None
+    extra = 2 if has_post else 0  # post kernel + bias refs
+    if has_post:
+        wpost_ref, bpost_ref = refs[2 * n_w], refs[2 * n_w + 1]
+    out_ref = refs[2 * n_w + extra]
+    tile = pl.program_id(1)
+    lo_p, hi_p = post_pads if has_post else (0, 0)
+
+    def mask(h, off):
+        coord = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + (tile * n_out + off)
+        return jnp.where((coord >= HL) & (coord < HL + R), h, 0.0)
+
+    def conv(h, wref, bref, off):
+        w = wref[:]
+        if compute_dtype is not None:
+            h = h.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        kp = w.shape[0]
+        rout = h.shape[0] - (kp - 1)
+        acc = jnp.dot(h[0:rout], w[0], preferred_element_type=jnp.float32)
+        for m in range(1, kp):
+            acc += jnp.dot(h[m:m + rout], w[m], preferred_element_type=jnp.float32)
+        return mask(acc + bref[0], off)
+
+    # upsample: slab row r = leaky(z[r]) @ W_up + b_up, masked outside the sequence
+    halo = halo_ref[0, 0]
+    z_slab = jnp.concatenate([halo[:HL], z_ref[0, 0], halo[HL:]], axis=0)
+    h = jax.nn.leaky_relu(z_slab, 0.1)
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+    slab = jnp.dot(h, wup_ref[:].astype(h.dtype),
+                   preferred_element_type=jnp.float32) + bup_ref[0]
+    slab = mask(slab, 0)
+
+    inner = n_out + lo_p + hi_p  # MRF output rows the post conv will consume
+    acc_out = None
+    ref_i = 0
+    for pads in pads_per_block:
+        HLb = sum(lo for lo, _ in pads)
+        HRb = sum(hi for _, hi in pads)
+        s0 = HL - lo_p - HLb
+        x_res = slab[s0: s0 + inner + HLb + HRb]
+        off = s0
+        for p in range(len(pads) // 2):
+            lo1, hi1 = pads[2 * p]
+            lo2, hi2 = pads[2 * p + 1]
+            hh = jax.nn.leaky_relu(x_res, 0.1)
+            hh = conv(hh, wrefs[ref_i], brefs[ref_i], off + lo1)
+            hh = jax.nn.leaky_relu(hh, 0.1)
+            hh = conv(hh, wrefs[ref_i + 1], brefs[ref_i + 1], off + lo1 + lo2)
+            x_res = x_res[lo1 + lo2: x_res.shape[0] - (hi1 + hi2)] + hh
+            off += lo1 + lo2
+            ref_i += 2
+        acc_out = x_res if acc_out is None else acc_out + x_res
+    y = acc_out / len(pads_per_block)
+    if not has_post:
+        out_ref[0, 0] = y
+        return
+    y = jax.nn.leaky_relu(y, 0.01)
+    wpost = wpost_ref[:]
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+        wpost = wpost.astype(compute_dtype)
+    kp = wpost.shape[0]
+    rout = y.shape[0] - (kp - 1)
+    audio = jnp.dot(y[0:rout], wpost[0], preferred_element_type=jnp.float32)
+    for m in range(1, kp):
+        audio += jnp.dot(y[m:m + rout], wpost[m], preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.tanh(audio + bpost_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations", "fold",
+                                             "rows_per_tile", "interpret",
+                                             "compute_dtype", "with_post"))
+def fused_tail_stage(z: jnp.ndarray, up_kernel, up_bias, kernels, biases, *,
+                     kernel_sizes: tuple, dilations: tuple, fold: int,
+                     post_kernel=None, post_bias=None, with_post: bool = False,
+                     rows_per_tile: int = 2048, interpret: bool = False,
+                     compute_dtype=None) -> jnp.ndarray:
+    """Whole generator tail stage as ONE pallas kernel: leaky → ConvTranspose1d
+    (torch layout (u, C_out, C_in), requires kernel_size == stride == fold, the
+    HiFi-GAN v1 tail config models/hifigan.py:33-34) → MRF resblocks → average
+    [→ leaky(0.01) → conv_post (k, C_out, 1) → tanh → audio] .
+
+    z: (B, T_in, C_in). Returns (B, T_in·fold, C_out), or audio (B, T_in·fold)
+    when with_post. Mapping out[u·i+j] = z[i] @ W[j].T verified vs
+    ops/conv._conv_transpose (k == u ⇒ non-overlapping taps)."""
+    B, T_in, C_in = z.shape
+    u, C_out, _ = up_kernel.shape
+    FC = fold * C_out
+    assert u == fold and FC == 128, (u, fold, C_out)
+
+    W_up = jnp.concatenate([up_kernel[j].T for j in range(u)], axis=1)  # (C_in, 128)
+    b_up = jnp.tile(up_bias, fold)[None]
+
+    wps, pads_per_block = [], []
+    w_i = 0
+    for j, k in enumerate(kernel_sizes):
+        dseq = [item for d in dilations[j] for item in (d, 1)]
+        pads = []
+        for d in dseq:
+            wp, (lo, hi) = fold_conv_kernel(_dilate(kernels[w_i], d), fold)
+            wps.append(wp)
+            pads.append((int(lo), int(hi)))
+            w_i += 1
+        pads_per_block.append(tuple(pads))
+    assert w_i == len(kernels) == len(biases)
+
+    post_pads = None
+    post_args = []
+    if with_post:
+        wp_post, (lo_p, hi_p) = fold_conv_kernel(post_kernel, fold)  # (kp, 128, fold)
+        post_pads = (int(lo_p), int(hi_p))
+        post_args = [wp_post, jnp.tile(jnp.atleast_1d(post_bias), fold)[None]]
+    else:
+        lo_p = hi_p = 0
+    HL = max(sum(lo for lo, _ in p) for p in pads_per_block) + lo_p
+    HR = max(sum(hi for _, hi in p) for p in pads_per_block) + hi_p
+
+    R = T_in  # folded output rows == input samples (u == fold)
+    Rt = min(rows_per_tile, R)
+    n_tiles = -(-R // Rt)
+    R_pad = n_tiles * Rt
+
+    zf = jnp.pad(z, ((0, 0), (0, R_pad - R), (0, 0)))
+    zt = zf.reshape(B, n_tiles, Rt, C_in)
+    zp = jnp.pad(zf, ((0, 0), (HL, HR), (0, 0)))
+    lo_idx = jnp.arange(n_tiles)[:, None] * Rt + jnp.arange(HL)[None, :]
+    hi_idx = (jnp.arange(n_tiles)[:, None] + 1) * Rt + HL + jnp.arange(HR)[None, :]
+    halo = zp[:, jnp.concatenate([lo_idx, hi_idx], axis=1)]
+
+    w_specs = [pl.BlockSpec(wp.shape, lambda b, i: (0, 0, 0),
+                            memory_space=pltpu.VMEM) for wp in wps]
+    b_specs = [pl.BlockSpec((1, FC), lambda b, i: (0, 0),
+                            memory_space=pltpu.VMEM)] * len(biases)
+    post_specs = ([pl.BlockSpec(post_args[0].shape, lambda b, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, fold), lambda b, i: (0, 0),
+                                memory_space=pltpu.VMEM)] if with_post else [])
+    out_lanes = fold if with_post else FC
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=96 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, pads_per_block=tuple(pads_per_block),
+                          post_pads=post_pads, n_out=Rt, HL=HL, R=R,
+                          compute_dtype=compute_dtype),
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec((1, 1, Rt, C_in), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, HL + HR, C_in), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(W_up.shape, lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, FC), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs + b_specs
+                 + post_specs,
+        out_specs=pl.BlockSpec((1, 1, Rt, out_lanes), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, Rt, out_lanes), jnp.float32),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(zt, halo, W_up, b_up, *wps, *[jnp.tile(b, fold)[None] for b in biases],
+      *post_args)
+    out = out.reshape(B, R_pad, out_lanes)[:, :R]
+    if with_post:
+        return out.reshape(B, R * fold)
+    return out.reshape(B, R * fold, C_out)
+
+
+def _mrf_kernel(x_ref, halo_ref, *refs, pads_per_block, n_out, HL, R, compute_dtype):
+    """One tile: a WHOLE MRF stage — every ResBlock1 chain on the same VMEM-resident
+    slab, outputs averaged — so the (B, T, C) activation makes ONE HBM round trip per
+    stage instead of one per resblock (plus the XLA (a+b+c)/3 pass).
+
+    Same slab/halo/masking scheme as `_resblock_kernel`; the slab is padded with the
+    LARGEST block's halo, and each block's chain starts `HL - HL_b` rows in."""
+    n_w = sum(len(p) for p in pads_per_block)
+    wrefs = refs[:n_w]
+    brefs = refs[n_w:2 * n_w]
+    out_ref = refs[2 * n_w]
+    tile = pl.program_id(1)
+
+    def conv(h, wref, bref, off):
+        w = wref[:]
+        if compute_dtype is not None:
+            h = h.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        kp = w.shape[0]
+        rout = h.shape[0] - (kp - 1)
+        acc = jnp.dot(h[0:rout], w[0], preferred_element_type=jnp.float32)
+        for m in range(1, kp):
+            acc += jnp.dot(h[m:m + rout], w[m], preferred_element_type=jnp.float32)
+        acc = acc + bref[0]
+        coord = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + (tile * n_out + off)
+        return jnp.where((coord >= HL) & (coord < HL + R), acc, 0.0)
+
+    halo = halo_ref[0, 0]
+    slab = jnp.concatenate([halo[:HL], x_ref[0, 0], halo[HL:]], axis=0)
+    acc_out = None
+    ref_i = 0
+    for pads in pads_per_block:
+        HLb = sum(lo for lo, _ in pads)
+        HRb = sum(hi for _, hi in pads)
+        # this block only needs (HLb, HRb) of the slab's (HL, HR) margin
+        hi_cut = (slab.shape[0] - (HL - HLb)) - (n_out + HLb + HRb)
+        x_res = slab[HL - HLb: slab.shape[0] - hi_cut]
+        off = HL - HLb
+        for p in range(len(pads) // 2):
+            lo1, hi1 = pads[2 * p]
+            lo2, hi2 = pads[2 * p + 1]
+            h = jax.nn.leaky_relu(x_res, 0.1)
+            h = conv(h, wrefs[ref_i], brefs[ref_i], off + lo1)
+            h = jax.nn.leaky_relu(h, 0.1)
+            h = conv(h, wrefs[ref_i + 1], brefs[ref_i + 1], off + lo1 + lo2)
+            x_res = x_res[lo1 + lo2: x_res.shape[0] - (hi1 + hi2)] + h
+            off += lo1 + lo2
+            ref_i += 2
+        acc_out = x_res if acc_out is None else acc_out + x_res
+    out_ref[0, 0] = acc_out / len(pads_per_block)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations", "fold",
+                                             "rows_per_tile", "interpret",
+                                             "compute_dtype"))
+def fused_mrf1(x: jnp.ndarray, kernels, biases, *, kernel_sizes: tuple,
+               dilations: tuple, fold: int, rows_per_tile: int = 2048,
+               interpret: bool = False, compute_dtype=None) -> jnp.ndarray:
+    """A whole MRF stage — mean of len(kernel_sizes) ResBlock1s — as ONE pallas kernel.
+
+    x: (B, T, C) with T % fold == 0 and fold·C == 128.
+    kernels/biases: flat lists, block-major: for each resblock j, its
+    2·len(dilations[j]) weight-norm-applied (k_j, C, C) kernels / (C,) biases in call
+    order [conv_d, conv_1] per dilation (reference MRF structure hifigan models.py via
+    models/hifigan.py:104-128)."""
+    B, T, C = x.shape
+    FC = fold * C
+    assert fold >= 2 and fold * C == 128, (fold, C)
+    assert T % fold == 0, (T, fold)
+
+    wps, pads_per_block = [], []
+    w_i = 0
+    for j, k in enumerate(kernel_sizes):
+        dseq = [item for d in dilations[j] for item in (d, 1)]
+        pads = []
+        for d in dseq:
+            wp, (lo, hi) = fold_conv_kernel(_dilate(kernels[w_i], d), fold)
+            wps.append(wp)
+            pads.append((int(lo), int(hi)))
+            w_i += 1
+        pads_per_block.append(tuple(pads))
+    assert w_i == len(kernels) == len(biases)
+    HL = max(sum(lo for lo, _ in p) for p in pads_per_block)
+    HR = max(sum(hi for _, hi in p) for p in pads_per_block)
+
+    R = T // fold
+    Rt = min(rows_per_tile, R)
+    n_tiles = -(-R // Rt)
+    R_pad = n_tiles * Rt
+
+    xf = jnp.pad(x.reshape(B, R, FC), ((0, 0), (0, R_pad - R), (0, 0)))
+    xt = xf.reshape(B, n_tiles, Rt, FC)
+    xp = jnp.pad(xf, ((0, 0), (HL, HR), (0, 0)))
+    lo_idx = jnp.arange(n_tiles)[:, None] * Rt + jnp.arange(HL)[None, :]
+    hi_idx = (jnp.arange(n_tiles)[:, None] + 1) * Rt + HL + jnp.arange(HR)[None, :]
+    halo = xp[:, jnp.concatenate([lo_idx, hi_idx], axis=1)]
+
+    w_specs = [pl.BlockSpec(wp.shape, lambda b, i: (0, 0, 0),
+                            memory_space=pltpu.VMEM) for wp in wps]
+    b_specs = [pl.BlockSpec((1, FC), lambda b, i: (0, 0),
+                            memory_space=pltpu.VMEM)] * len(biases)
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=96 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(_mrf_kernel, pads_per_block=tuple(pads_per_block),
+                          n_out=Rt, HL=HL, R=R, compute_dtype=compute_dtype),
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec((1, 1, Rt, FC), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, HL + HR, FC), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs + b_specs,
+        out_specs=pl.BlockSpec((1, 1, Rt, FC), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, Rt, FC), jnp.float32),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(xt, halo, *wps, *[jnp.tile(b, fold)[None] for b in biases])
+    out = out.reshape(B, R_pad, FC)[:, :R]
+    return out.reshape(B, T, C)
