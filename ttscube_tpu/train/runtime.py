@@ -90,7 +90,11 @@ def cubegan_synthesize_dataset(model, params, dataset, collate, output_path: str
     os.makedirs(output_path, exist_ok=True)
     n = len(dataset) if limit == -1 else min(limit, len(dataset))
 
-    infer_free = jax.jit(lambda p, x: model.infer(p, x, max_frames=max_frames)[0])
+    def _free(p, x):
+        audio, aux = model.infer(p, x, max_frames=max_frames)
+        return audio, aux["frame_mask"].sum(axis=1)
+
+    infer_free = jax.jit(_free)
     infer_forced = jax.jit(model.forward)
 
     for i in range(n):
@@ -101,9 +105,11 @@ def cubegan_synthesize_dataset(model, params, dataset, collate, output_path: str
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if free:
             Xi = {k: v for k, v in batch.items() if k.startswith("x_")}
-            audio = infer_free(params, Xi)
+            audio, n_frames = jax.device_get(infer_free(params, Xi))
+            # trim the static max_frames program output to the predicted duration
+            audio = audio[:, : int(n_frames[0]) * model.config.hop_size]
         else:
-            audio = infer_forced(params, batch)
-        audio = np.asarray(jax.device_get(audio))[0]
+            audio = jax.device_get(infer_forced(params, batch))
+        audio = np.asarray(audio)[0]
         write_wav(os.path.join(output_path, f"{example['meta']['id']}.wav"),
                   audio, model.config.sample_rate)
