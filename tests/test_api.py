@@ -172,3 +172,20 @@ def test_export_and_reimport(artifacts, tmp_path):
     cube = TTSCube(str(target / "cubegan"), str(target / "phonemizer"))
     audio = cube("hello", speaker="neb")
     assert audio.dtype == np.int16 and len(audio) > 0
+
+
+def test_warmup_precompiles_real_call_shapes(artifacts):
+    """warmup() must compile the EXACT trace signature real calls use (same x_ key
+    set and bucketed shapes) — real synthesis after warmup must not retrace.
+    Found on the TPU: a warmup Xi missing the collate's x_phon2word key compiled a
+    different signature and the first real call still paid the full jit compile."""
+    from ttscube_tpu.api import CHAR_BUCKET, TTSCube
+
+    cube = TTSCube(str(artifacts / "cubegan"), str(artifacts / "phonemizer"))
+    cube.warmup(frame_buckets=(256,), char_lens=(CHAR_BUCKET,))
+    fn = cube._infer_cache[256]
+    assert fn._cache_size() == 1
+    a1 = cube("hello", speaker="neb")
+    a2 = cube("hello world again", speaker="neb")  # same 32-phone collate bucket
+    assert len(a1) > 0 and len(a2) > 0
+    assert fn._cache_size() == 1, "real call retraced despite warmup"

@@ -31,6 +31,7 @@ from ttscube_tpu.utils.repository import download_model
 
 FRAME_BUCKET = 256
 MAX_FRAMES = 8192
+CHAR_BUCKET = 32
 
 
 class TTSCube:
@@ -93,9 +94,12 @@ class TTSCube:
                                       hop=self.config.hop_size,
                                       hf_conditioning=cond_type == "hf")
 
-        # synthesis params template {lang, gen} → load msgpack
+        # synthesis params template {lang, gen} → load msgpack. Commit the tree to
+        # the accelerator ONCE: load_params returns host numpy arrays, and passing
+        # those to a jitted call re-uploads the whole model per dispatch (~2 s/call
+        # through the TPU relay, measured).
         template = self._init_template()
-        self.params = load_params(model_path + ".model", template)
+        self.params = jax.device_put(load_params(model_path + ".model", template))
 
         # phonemizer frontend
         penc = PhonemizerEncodings(phonemizer_path + ".encodings")
@@ -161,6 +165,27 @@ class TTSCube:
                 lambda p, x: self.model.infer(p, x, max_frames=max_frames)[0])
         return self._infer_cache[max_frames]
 
+    def warmup(self, frame_buckets=(FRAME_BUCKET, 2 * FRAME_BUCKET),
+               char_lens=(CHAR_BUCKET, 2 * CHAR_BUCKET)):
+        """Precompile the duration pass and the synthesis executables for the given
+        (text-length, frame-budget) buckets so first real requests don't pay the
+        ~20-40 s jit compile. Serving deployments call this once at startup."""
+        import jax
+        import jax.numpy as jnp
+
+        for n in char_lens:
+            # mirror the collate's exact x_ key set — a missing/extra key or shape
+            # is a different trace signature and the warmup compiles the wrong thing
+            Xi = {"x_char": jnp.zeros((1, n), jnp.int32),
+                  "x_phon2word": jnp.zeros((1, n), jnp.int32),
+                  "x_speaker": jnp.zeros((1, 1), jnp.int32)}
+            if self.config.languasito.cond_type is not None:
+                Xi["x_words"] = jnp.zeros(
+                    (1, 4, self.config.languasito.lm_input_dim), jnp.float32)
+            jax.block_until_ready(self._dur_fn(self.params, Xi))
+            for b in frame_buckets:
+                jax.block_until_ready(self._infer_at(b)(self.params, Xi))
+
     @staticmethod
     def load(model_name: str) -> "TTSCube":
         base = os.path.join(str(Path.home()), ".ttscube", "models", model_name)
@@ -181,6 +206,8 @@ class TTSCube:
         example = {"meta": meta, "mgc": np.zeros((8, 80), np.float32),
                    "pitch": np.zeros((8,), np.float32)}
         X = self.collate([example])
+        # the collate buckets the phone axis (multiples of bucket_phones=32), so texts
+        # of nearby lengths share one executable rather than compiling per length
         Xi = {k: jnp.asarray(v) for k, v in X.items() if k.startswith("x_")}
 
         total = int(jax.device_get(self._dur_fn(self.params, Xi)))

@@ -61,6 +61,16 @@ class Text2FeatBlizzard:
         self.int2phon = [" "] * len(encodings.phonemes)
         for g, idx in encodings.phonemes.items():
             self.int2phon[idx] = g
+        # pin the phonemizer to the host CPU backend: its input shape is (1, len(text))
+        # so every new text length is a fresh trace — on the TPU relay that is a ~5-7 s
+        # remote compile PER TEXT LENGTH, on CPU it is milliseconds, and the tiny
+        # BiLSTM labeler runs in ~ms either way. Placement follows the committed
+        # devices of the arguments (same recipe as data/importers.py import_audio).
+        try:
+            self._cpu = jax.local_devices(backend="cpu")[0]
+            self.params = jax.device_put(self.params, self._cpu)
+        except RuntimeError:  # no cpu backend registered — keep default placement
+            self._cpu = None
         self._jit_forward = jax.jit(lambda p, X: self.phonemizer.apply({"params": p}, X))
 
     def __call__(self, text: str) -> dict:
@@ -80,7 +90,10 @@ class Text2FeatBlizzard:
             if low != g:
                 x_case[0, j] = 1
             x_char[0, j] = self.encodings.grapheme2int.get(low, 0)
-        logits = self._jit_forward(self.params, {"x_char": x_char, "x_case": x_case})
+        X = {"x_char": x_char, "x_case": x_case}
+        if self._cpu is not None:
+            X = jax.device_put(X, self._cpu)
+        logits = self._jit_forward(self.params, X)
         pred = np.asarray(logits.argmax(axis=-1))[0]
         phonemes = [self.int2phon[i] for i in pred]
 
