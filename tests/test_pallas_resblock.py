@@ -149,3 +149,27 @@ def test_fused_generator_full_config_tail_branch():
                                            rows_per_tile=256, interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_chunked_generator_with_fused_path():
+    """generate_chunked (the B=256 / long-form serving path) composed with the fused
+    generator must match full-utterance flax output — windows are real-signal slices,
+    so the fused kernels' boundary masking must line up with the window edges."""
+    from ttscube_tpu.models.hifigan import generate_chunked
+
+    cfg = HifiganConfig(resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 3),))
+    g = Generator(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(4), (2, 40, 80))
+    variables = g.init(jax.random.PRNGKey(0), mel)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.03 if "bias" in jax.tree_util.keystr(p) else x,
+        variables["params"])
+    want = np.asarray(g.apply({"params": params}, mel))
+
+    fused_fn = lambda c: generator_apply_fused(params, c, cfg, rows_per_tile=256,
+                                               interpret=True)
+    got = np.asarray(generate_chunked(fused_fn, mel, cfg.total_upsample,
+                                      chunk=12, halo=28))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -20,6 +20,13 @@ Approach (the round-1 "next idea", ops/pallas_conv.py:20-22): fuse ONE WHOLE RES
   * Inside the kernel everything stays VMEM-resident: the valid region shrinks as the
     conv chain consumes its halo (all offsets static Python ints).
 
+Three kernels, in increasing fusion scope (all share the slab/halo/masking scheme):
+  * `fused_resblock1` — one ResBlock1 per kernel (building block, fully tested);
+  * `fused_mrf1` — a whole MRF stage (all resblocks + averaging) per kernel;
+  * `fused_tail_stage` — the ENTIRE final generator stage: k==stride transpose-conv
+    upsample (one dense matmul, zero FLOP inflation) + MRF + conv_post + tanh; the
+    widest activation never touches HBM. This is what serving uses.
+
 Inference-only (no custom VJP) — training keeps the flax module path, like
 ops/pallas_rnn.py. Wired behind `HifiganConfig.fused_tail` via
 models/hifigan_fused.generator_apply_fused.
