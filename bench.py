@@ -1,6 +1,10 @@
 """Benchmark harness: end-to-end synthesis throughput (xRT) on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the headline metric
+is serving xRT; the same object carries training-side fields ("train_step_ms",
+"train_mfu_pct") measured on a full GAN training step with the fused-tail custom VJP
+(the reference's training hot path, cubegan.py:85-189 — it publishes no numbers, so
+vs_baseline stays the serving ratio; see BASELINE.md).
 Baseline target (BASELINE.md): >= 200x real-time 24 kHz synthesis per v5e chip.
 vs_baseline = measured_xRT / 200.
 
@@ -13,6 +17,73 @@ import json
 import time
 
 import numpy as np
+
+# v5e per-chip peak (bf16 MXU). MFU is reported against this even for fp32 steps —
+# it answers "how far from the chip's ceiling", not "how well-tuned is fp32".
+V5E_PEAK_FLOPS = 197e12
+
+
+def train_bench(fused: bool = True, B: int = 4, F: int = 500):
+    """GAN train-step time + MFU at the round-2 profile shape (B=4, F=500).
+
+    Returns (step_ms, mfu_pct or None). Uses the fused-tail custom-VJP training path
+    (HifiganConfig.fused_tail_train) when `fused`; the flax path otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttscube_tpu.models.cubegan import (Cubegan, CubeganConfig,
+                                            create_train_state, train_step)
+    from ttscube_tpu.models.hifigan import HifiganConfig
+    from ttscube_tpu.models.languasito import LanguasitoConfig
+    from ttscube_tpu.ops.length_regulator import durations_to_frame2phone_np
+    from ttscube_tpu.utils.profiling import device_timer
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = CubeganConfig(
+        languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
+                                    max_duration=100),
+        hifigan=HifiganConfig(fused_tail_train=fused and on_tpu))
+    model = Cubegan(cfg, train=True)
+
+    rng = np.random.default_rng(0)
+    N = 100
+    durs = rng.integers(3, 8, (B, N)).astype(np.int32)
+    n_valid = np.full((B,), N, np.int32)
+    f2p, fmask = durations_to_frame2phone_np(durs, n_valid, F)
+    batch = {
+        "x_char": jnp.asarray(rng.integers(1, 64, (B, N)).astype(np.int32)),
+        "x_speaker": jnp.asarray(rng.integers(1, 8, (B, 1)).astype(np.int32)),
+        "y_frame2phone": jnp.asarray(f2p),
+        "y_frame_mask": jnp.asarray(fmask),
+        "y_pitch": jnp.asarray((rng.uniform(80, 300, (B, F)) * np.asarray(fmask))
+                               .astype(np.float32)),
+        "y_dur": jnp.asarray(durs),
+        "y_audio": jnp.asarray((0.1 * rng.standard_normal((B, F * 240)))
+                               .astype(np.float32)),
+        "n_frames": jnp.asarray(np.asarray(fmask).sum(axis=1).astype(np.int32)),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(0), batch)
+
+    def step_fn(state, batch, rng_key):
+        new_state, metrics = train_step(model, state, batch, rng_key)
+        return new_state, metrics
+
+    key = jax.random.PRNGKey(1)
+    sec = device_timer(step_fn, state, batch, key, reps=10)
+    step_ms = sec * 1e3
+
+    mfu = None
+    try:
+        cost = (jax.jit(step_fn).lower(state, batch, key).compile()
+                .cost_analysis())
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = 100.0 * flops / (sec * V5E_PEAK_FLOPS)
+    except Exception:
+        pass
+    return step_ms, mfu
 
 
 def main(batch: int = 128, chunk: int = 0, fused: bool = True):
@@ -82,12 +153,20 @@ def main(batch: int = 128, chunk: int = 0, fused: bool = True):
 
     audio_seconds = B * MAX_FRAMES * cfg.hop_size / cfg.sample_rate
     xrt = audio_seconds / wall
-    print(json.dumps({
+    record = {
         "metric": "e2e_synthesis_xRT",
         "value": round(xrt, 1),
         "unit": "audio_sec/wall_sec/chip",
         "vs_baseline": round(xrt / 200.0, 2),
-    }))
+    }
+    try:
+        step_ms, mfu = train_bench(fused=fused)
+        record["train_step_ms"] = round(step_ms, 2)
+        if mfu is not None:
+            record["train_mfu_pct"] = round(mfu, 2)
+    except Exception as e:  # train metrics are best-effort; never break the contract
+        record["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

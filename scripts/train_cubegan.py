@@ -68,8 +68,10 @@ def _train(args):
     sys.stdout.write(open(args.output_base + ".yaml").read())
     sys.stdout.write("========================================\n\n")
 
-    trainset = CubeganDataset(args.train_folder, hf_tokenizer=hf_tokenizer)
-    devset = CubeganDataset(args.dev_folder, hf_tokenizer=hf_tokenizer)
+    trainset = CubeganDataset(args.train_folder, hf_tokenizer=hf_tokenizer,
+                              hop_size=args.hop_size, sample_rate=args.sample_rate)
+    devset = CubeganDataset(args.dev_folder, hf_tokenizer=hf_tokenizer,
+                            hop_size=args.hop_size, sample_rate=args.sample_rate)
     sys.stdout.write(f"train={len(trainset)} dev={len(devset)} examples\n")
 
     enc_path = args.output_base + ".encodings"

@@ -10,6 +10,8 @@ The reference call stack being mirrored is SURVEY §3.1 (Languasito2 modules.py:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full tier; fast tier = -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ isolation reproducing the reference's 4-optimizer semantics (cubegan.py:85-189,2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full tier; fast tier = -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 
@@ -222,5 +224,8 @@ def test_inference_fused_tail_matches_flax():
     model_fused = Cubegan(dataclasses.replace(cfg, hifigan=dataclasses.replace(
         hifi, fused_tail=True)), train=False)
     want, _ = jax.jit(lambda p, x: model.infer(p, x, max_frames=48))(state.params, Xi)
-    got, _ = jax.jit(lambda p, x: model_fused.infer(p, x, max_frames=48))(state.params, Xi)
+    from ttscube_tpu.models.hifigan_fused import force_pallas_interpret
+
+    with force_pallas_interpret():  # off-TPU default is the plain-XLA fallback
+        got, _ = jax.jit(lambda p, x: model_fused.infer(p, x, max_frames=48))(state.params, Xi)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)

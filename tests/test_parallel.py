@@ -4,6 +4,8 @@ data×model sharded Cubegan train step must compile and run."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full tier; fast tier = -m 'not slow'
+
 import jax
 
 from ttscube_tpu.models.cubegan import create_train_state, train_step

@@ -90,9 +90,13 @@ class TTSCube:
             from ttscube_tpu.utils.hfcond import HFCondFrontend
 
             self.hf_frontend = HFCondFrontend.from_packaged(model_path)
+        # bucket_words: pad the word axis (x_words/x_word2tok) to multiples of 8 so
+        # requests with nearby word counts share one jit trace — without it every
+        # distinct word count is a fresh ~20-40 s TPU compile that warmup can't cover
         self.collate = CubeganCollate(encodings, word_embedder=word_embedder,
                                       hop=self.config.hop_size,
-                                      hf_conditioning=cond_type == "hf")
+                                      hf_conditioning=cond_type == "hf",
+                                      bucket_words=8)
 
         # synthesis params template {lang, gen} → load msgpack. Commit the tree to
         # the accelerator ONCE: load_params returns host numpy arrays, and passing
@@ -166,22 +170,23 @@ class TTSCube:
         return self._infer_cache[max_frames]
 
     def warmup(self, frame_buckets=(FRAME_BUCKET, 2 * FRAME_BUCKET),
-               char_lens=(CHAR_BUCKET, 2 * CHAR_BUCKET)):
+               char_lens=(CHAR_BUCKET, 2 * CHAR_BUCKET), speaker: str = "none"):
         """Precompile the duration pass and the synthesis executables for the given
         (text-length, frame-budget) buckets so first real requests don't pay the
-        ~20-40 s jit compile. Serving deployments call this once at startup."""
+        ~20-40 s jit compile. Serving deployments call this once at startup.
+
+        Inputs are built through the REAL text→phonemizer→collate path (`_prepare`) —
+        not hand-assembled arrays — so the warmed trace signatures (key set, bucketed
+        phone/word/token axes, conditioning arrays) exactly match live requests."""
         import jax
-        import jax.numpy as jnp
 
         for n in char_lens:
-            # mirror the collate's exact x_ key set — a missing/extra key or shape
-            # is a different trace signature and the warmup compiles the wrong thing
-            Xi = {"x_char": jnp.zeros((1, n), jnp.int32),
-                  "x_phon2word": jnp.zeros((1, n), jnp.int32),
-                  "x_speaker": jnp.zeros((1, 1), jnp.int32)}
-            if self.config.languasito.cond_type is not None:
-                Xi["x_words"] = jnp.zeros(
-                    (1, 4, self.config.languasito.lm_input_dim), jnp.float32)
+            # a synthetic text whose phonemization lands near the n-phone collate
+            # bucket: the aligned phonemizer maps chars ~1:1 (minus '_' deletions), so
+            # ~n chars of short words is close enough — and whatever bucket results
+            # is, by construction, a signature real requests produce
+            text = " ".join("ab" for _ in range(max(1, n // 3)))[: max(n - 1, 2)]
+            Xi = self._prepare(text, speaker)
             jax.block_until_ready(self._dur_fn(self.params, Xi))
             for b in frame_buckets:
                 jax.block_until_ready(self._infer_at(b)(self.params, Xi))
@@ -194,8 +199,8 @@ class TTSCube:
             download_model(base, model_name)
         return TTSCube(os.path.join(base, "cubegan"), os.path.join(base, "phonemizer"))
 
-    def __call__(self, text: str, speaker: str = "none") -> np.ndarray:
-        import jax
+    def _prepare(self, text: str, speaker: str):
+        """text → phonemize → collate → device input dict (the jit trace signature)."""
         import jax.numpy as jnp
 
         meta = self.text2feat(text)
@@ -208,8 +213,12 @@ class TTSCube:
         X = self.collate([example])
         # the collate buckets the phone axis (multiples of bucket_phones=32), so texts
         # of nearby lengths share one executable rather than compiling per length
-        Xi = {k: jnp.asarray(v) for k, v in X.items() if k.startswith("x_")}
+        return {k: jnp.asarray(v) for k, v in X.items() if k.startswith("x_")}
 
+    def __call__(self, text: str, speaker: str = "none") -> np.ndarray:
+        import jax
+
+        Xi = self._prepare(text, speaker)
         total = int(jax.device_get(self._dur_fn(self.params, Xi)))
         total = max(total, 1)  # all-unknown phones predict 0 frames; emit 1 frame of
         # silence instead of a zero-length array

@@ -67,7 +67,7 @@ class CubeganCollate:
     def __init__(self, encodings: CubeganEncodings, word_embedder=None,
                  bucket_phones: int = 32, bucket_frames: int = 64, hop: int = 240,
                  min_frames: int = 60, hf_conditioning: bool = False,
-                 bucket_tokens: int = 64):
+                 bucket_tokens: int = 64, bucket_words: int = 1):
         self.encodings = encodings
         self.word_embedder = word_embedder
         self.bucket_phones = bucket_phones
@@ -76,6 +76,10 @@ class CubeganCollate:
         self.min_frames = min_frames  # ≥ GAN train window + a margin
         self.hf_conditioning = hf_conditioning  # emit x_tok_ids/x_tok_mask/x_word2tok
         self.bucket_tokens = bucket_tokens
+        # bucket the word axis (x_words / x_word2tok) so nearby word counts share one
+        # jit trace — serving sets this >1 (api.py) so warmup() covers real requests;
+        # default 1 keeps training batches at exact batch-max width
+        self.bucket_words = bucket_words
 
     def __call__(self, batch: list[dict]):
         enc = self.encodings
@@ -127,7 +131,7 @@ class CubeganCollate:
                 list(e["meta"].get("words_right", []))
                 for e in batch
             ]
-            W = max(max(len(w) for w in all_words), 1)
+            W = _bucket(max(max(len(w) for w in all_words), 1), self.bucket_words)
             dim = None
             embs = []
             for words in all_words:
@@ -177,7 +181,8 @@ class CubeganCollate:
         B = len(batch)
         T = min(_bucket(max(len(t) for t, _ in windows), self.bucket_tokens),
                 HF_MAX_TOKENS)
-        W = max(max((max(w) + 1) if w else 1 for _, w in windows), 1)
+        W = _bucket(max(max((max(w) + 1) if w else 1 for _, w in windows), 1),
+                    self.bucket_words)
         x_tok_ids = np.zeros((B, T), np.int32)
         x_tok_mask = np.zeros((B, T), bool)
         x_word2tok = np.zeros((B, W), np.int32)

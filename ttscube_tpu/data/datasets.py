@@ -40,7 +40,12 @@ class CubeganDataset:
     """Scans a folder of per-utterance {id}.{mgc,pitch,json,wav} artifacts."""
 
     def __init__(self, base_path: str, hold_audio_in_ram: bool = False,
-                 hf_tokenizer=None):
+                 hf_tokenizer=None, hop_size: int = 240, sample_rate: int = 24000):
+        # hop/sample-rate are parameters, not literals (the reference hard-codes
+        # 240/24000 in _make_absolute_silence and the librosa load, io_cubegan.py:86-92,
+        # silently disagreeing with any non-default collate hop)
+        self._hop = hop_size
+        self._sr = sample_rate
         self._base_path = base_path
         self._examples: list[dict] = []
         tok = SimpleTokenizer()
@@ -87,7 +92,7 @@ class CubeganDataset:
         max_phone = max(f2p)
         for i, p in enumerate(f2p):
             if p == 0 or p == max_phone:
-                audio[i * 240 : (i + 1) * 240] = 0.0
+                audio[i * self._hop : (i + 1) * self._hop] = 0.0
                 if i < len(pitch):
                     pitch[i] = 0.0
         return audio, pitch
@@ -97,7 +102,7 @@ class CubeganDataset:
         base = join(self._base_path, str(meta["id"]))
         mgc = self._load_npy(base, "mgc")
         pitch = np.array(self._load_npy(base, "pitch"), np.float32)
-        audio, _ = read_wav(base + ".wav", target_sr=24000)
+        audio, _ = read_wav(base + ".wav", target_sr=self._sr)
         audio = np.array(audio, np.float32)
         audio, pitch = self._make_absolute_silence(audio, pitch, meta)
         return {"meta": meta, "mgc": mgc, "pitch": pitch, "audio": audio}

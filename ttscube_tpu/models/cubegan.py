@@ -132,7 +132,9 @@ class Cubegan:
         if self.config.hifigan.fused_tail:
             from ttscube_tpu.models.hifigan_fused import generator_apply_fused
 
-            gen = lambda c: generator_apply_fused(params["gen"], c, self.config.hifigan)
+            gen = lambda c: generator_apply_fused(
+                params["gen"], c, self.config.hifigan,
+                compute_dtype=self.config.hifigan.jnp_compute_dtype)
         else:
             gen = lambda c: self.generator.apply({"params": params["gen"]}, c)
         if chunk_frames is not None:
@@ -173,7 +175,16 @@ class Cubegan:
         # exceeds the window, cubegan.py:115,217)
         window = min(window, cond.shape[1])
         cond_w, y_w = self._crop(cond, batch["y_audio"], batch["n_frames"], rng, window)
-        y_hat = self.generator.apply({"params": pg["gen"]}, cond_w)
+        if self.config.hifigan.fused_tail_train:
+            # fused pallas tail with a fused pallas BACKWARD (custom VJP): the widest
+            # activation and its cotangent stay in VMEM through the GAN step
+            from ttscube_tpu.models.hifigan_fused import generator_apply_fused_train
+
+            y_hat = generator_apply_fused_train(
+                pg["gen"], cond_w, self.config.hifigan,
+                compute_dtype=self.config.hifigan.jnp_compute_dtype)
+        else:
+            y_hat = self.generator.apply({"params": pg["gen"]}, cond_w)
         return (dur_logits, pitch, vuv, y_hat), y_w
 
     def lm_condition(self, pg, X):

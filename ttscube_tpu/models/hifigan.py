@@ -44,12 +44,17 @@ class HifiganConfig:
     # ops/conv.fold_conv_kernel). Wins 4.7x on isolated convs but LOSES ~1.7x composed
     # into the full generator (XLA fusion/layout interactions) — keep off by default.
     fold_narrow: bool = False
-    # inference-only: run the generator tail through fused pallas kernels
+    # inference: run the generator tail through fused pallas kernels
     # (ops/pallas_resblock.py) — the final stage (upsample + MRF + conv_post + tanh)
     # is ONE kernel, so the widest activation never touches HBM. Measured e2e serving
-    # speedup on v5e: 1.73x at B=32, 1.26x at B=64, 1.02x at B=128. Training always
-    # uses the flax path (no custom VJP).
+    # speedup on v5e: 1.73x at B=32, 1.26x at B=64, 1.02x at B=128.
     fused_tail: bool = False
+    # training: run the generator forward through hifigan_fused.generator_apply_fused_train
+    # — the final stage is the fused kernel with a fused pallas BACKWARD
+    # (ops/pallas_resblock.fused_tail_stage_grad custom VJP), so the widest
+    # activation/cotangent stays in VMEM in both directions of the GAN step
+    # (reference training hot path: cubegan.py:85-189).
+    fused_tail_train: bool = False
 
     @property
     def jnp_compute_dtype(self):

@@ -219,6 +219,12 @@ def languasito_losses(dur_logits, pitch, vuv, batch, max_pitch: float):
 
     Reference ``cubegan.py:107-112``: CE over durations with ignore_index on padding;
     pitch loss = mean(|t/max_pitch − p| · vuv_t) + mean(|vuv_t − vuv_p|).
+
+    Deliberate improvement over the reference: the pitch/VUV means are taken over the
+    VALID frames (`y_frame_mask`) instead of the padded batch — the reference's plain
+    ``torch.mean`` over padding biases the loss toward zero-pitch/unvoiced frames in
+    proportion to how much a batch is padded (SURVEY §7 "padding discipline"). Batches
+    without a frame mask fall back to the reference idiom.
     """
     t_dur = batch["y_dur"]
     dur_mask = batch["x_char"] != 0
@@ -230,7 +236,14 @@ def languasito_losses(dur_logits, pitch, vuv, batch, max_pitch: float):
     t_pitch = batch["y_pitch"]
     t_vuv = (t_pitch > 1).astype(jnp.float32)
     F = min(t_pitch.shape[1], pitch.shape[1])
-    # reference takes plain means over the (padded) batch — frame mask optional
-    loss_pitch = jnp.mean(jnp.abs(t_pitch[:, :F] / max_pitch - pitch[:, :F]) * t_vuv[:, :F]) + \
-        jnp.mean(jnp.abs(t_vuv[:, :F] - vuv[:, :F]))
+    pitch_l1 = jnp.abs(t_pitch[:, :F] / max_pitch - pitch[:, :F]) * t_vuv[:, :F]
+    vuv_l1 = jnp.abs(t_vuv[:, :F] - vuv[:, :F])
+    fmask = batch.get("y_frame_mask")
+    if fmask is None:
+        # reference idiom: plain means over the padded batch (cubegan.py:111-112)
+        loss_pitch = jnp.mean(pitch_l1) + jnp.mean(vuv_l1)
+    else:
+        m = fmask[:, :F].astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+        loss_pitch = (pitch_l1 * m).sum() / denom + (vuv_l1 * m).sum() / denom
     return loss_duration, loss_pitch

@@ -187,32 +187,27 @@ def fused_resblock1(x: jnp.ndarray, kernels, biases, *, kernel_size: int,
     return out.reshape(B, T, C)
 
 
-def _tail_kernel(z_ref, halo_ref, wup_ref, bup_ref, *refs, pads_per_block, post_pads,
-                 n_out, HL, R, compute_dtype):
-    """One tile of the WHOLE generator tail stage:
+def _tail_tile_fn(z_slab, W_up, b_up, ws, bs, wpost, bpost, *, row0, pads_per_block,
+                  post_pads, n_out, HL, R, compute_dtype):
+    """The WHOLE generator tail stage on one VMEM-resident slab, as a PURE jnp
+    function (shared by the forward kernel and — via ``jax.vjp`` traced *inside* the
+    backward kernel — the fused backward):
     leaky → transpose-conv upsample (k == stride == fold: each input sample yields
     exactly one folded output row, so the upsample is ONE dense (rows, C_in)×(C_in,
     128) matmul — zero FLOP inflation) → every MRF ResBlock1 chain → average →
-    leaky(0.01) → folded conv_post → tanh → audio rows.
+    [leaky(0.01) → folded conv_post → tanh →] output rows.
 
-    The C=32 activation (4× the input, 32× the audio) never touches HBM."""
-    n_w = sum(len(p) for p in pads_per_block)
-    wrefs = refs[:n_w]
-    brefs = refs[n_w:2 * n_w]
+    z_slab: (n_out + HL + HR, C_in); row0: first slab row's global padded coordinate
+    (tile · n_out). Returns (n_out, FC) stage activation, or (n_out, fold) audio rows
+    when post_pads is given."""
     has_post = post_pads is not None
-    extra = 2 if has_post else 0  # post kernel + bias refs
-    if has_post:
-        wpost_ref, bpost_ref = refs[2 * n_w], refs[2 * n_w + 1]
-    out_ref = refs[2 * n_w + extra]
-    tile = pl.program_id(1)
     lo_p, hi_p = post_pads if has_post else (0, 0)
 
     def mask(h, off):
-        coord = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + (tile * n_out + off)
+        coord = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + (row0 + off)
         return jnp.where((coord >= HL) & (coord < HL + R), h, 0.0)
 
-    def conv(h, wref, bref, off):
-        w = wref[:]
+    def conv(h, w, b, off):
         if compute_dtype is not None:
             h = h.astype(compute_dtype)
             w = w.astype(compute_dtype)
@@ -221,21 +216,19 @@ def _tail_kernel(z_ref, halo_ref, wup_ref, bup_ref, *refs, pads_per_block, post_
         acc = jnp.dot(h[0:rout], w[0], preferred_element_type=jnp.float32)
         for m in range(1, kp):
             acc += jnp.dot(h[m:m + rout], w[m], preferred_element_type=jnp.float32)
-        return mask(acc + bref[0], off)
+        return mask(acc + b[0], off)
 
     # upsample: slab row r = leaky(z[r]) @ W_up + b_up, masked outside the sequence
-    halo = halo_ref[0, 0]
-    z_slab = jnp.concatenate([halo[:HL], z_ref[0, 0], halo[HL:]], axis=0)
     h = jax.nn.leaky_relu(z_slab, 0.1)
     if compute_dtype is not None:
         h = h.astype(compute_dtype)
-    slab = jnp.dot(h, wup_ref[:].astype(h.dtype),
-                   preferred_element_type=jnp.float32) + bup_ref[0]
+    slab = jnp.dot(h, W_up.astype(h.dtype),
+                   preferred_element_type=jnp.float32) + b_up[0]
     slab = mask(slab, 0)
 
     inner = n_out + lo_p + hi_p  # MRF output rows the post conv will consume
     acc_out = None
-    ref_i = 0
+    w_i = 0
     for pads in pads_per_block:
         HLb = sum(lo for lo, _ in pads)
         HRb = sum(hi for _, hi in pads)
@@ -246,19 +239,17 @@ def _tail_kernel(z_ref, halo_ref, wup_ref, bup_ref, *refs, pads_per_block, post_
             lo1, hi1 = pads[2 * p]
             lo2, hi2 = pads[2 * p + 1]
             hh = jax.nn.leaky_relu(x_res, 0.1)
-            hh = conv(hh, wrefs[ref_i], brefs[ref_i], off + lo1)
+            hh = conv(hh, ws[w_i], bs[w_i], off + lo1)
             hh = jax.nn.leaky_relu(hh, 0.1)
-            hh = conv(hh, wrefs[ref_i + 1], brefs[ref_i + 1], off + lo1 + lo2)
+            hh = conv(hh, ws[w_i + 1], bs[w_i + 1], off + lo1 + lo2)
             x_res = x_res[lo1 + lo2: x_res.shape[0] - (hi1 + hi2)] + hh
             off += lo1 + lo2
-            ref_i += 2
+            w_i += 2
         acc_out = x_res if acc_out is None else acc_out + x_res
     y = acc_out / len(pads_per_block)
     if not has_post:
-        out_ref[0, 0] = y
-        return
+        return y
     y = jax.nn.leaky_relu(y, 0.01)
-    wpost = wpost_ref[:]
     if compute_dtype is not None:
         y = y.astype(compute_dtype)
         wpost = wpost.astype(compute_dtype)
@@ -267,7 +258,29 @@ def _tail_kernel(z_ref, halo_ref, wup_ref, bup_ref, *refs, pads_per_block, post_
     audio = jnp.dot(y[0:rout], wpost[0], preferred_element_type=jnp.float32)
     for m in range(1, kp):
         audio += jnp.dot(y[m:m + rout], wpost[m], preferred_element_type=jnp.float32)
-    out_ref[0, 0] = jnp.tanh(audio + bpost_ref[0])
+    return jnp.tanh(audio + bpost[0])
+
+
+def _tail_kernel(z_ref, halo_ref, wup_ref, bup_ref, *refs, pads_per_block, post_pads,
+                 n_out, HL, R, compute_dtype):
+    """One tile of the whole tail stage (see `_tail_tile_fn`). The C=32 activation
+    (4× the input, 32× the audio) never touches HBM."""
+    n_w = sum(len(p) for p in pads_per_block)
+    has_post = post_pads is not None
+    extra = 2 if has_post else 0  # post kernel + bias refs
+    out_ref = refs[2 * n_w + extra]
+    tile = pl.program_id(1)
+
+    halo = halo_ref[0, 0]
+    z_slab = jnp.concatenate([halo[:HL], z_ref[0, 0], halo[HL:]], axis=0)
+    out_ref[0, 0] = _tail_tile_fn(
+        z_slab, wup_ref[:], bup_ref[:],
+        tuple(r[:] for r in refs[:n_w]),
+        tuple(r[:] for r in refs[n_w:2 * n_w]),
+        refs[2 * n_w][:] if has_post else None,
+        refs[2 * n_w + 1][:] if has_post else None,
+        row0=tile * n_out, pads_per_block=pads_per_block, post_pads=post_pads,
+        n_out=n_out, HL=HL, R=R, compute_dtype=compute_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations", "fold",
@@ -369,6 +382,295 @@ def fused_tail_stage(z: jnp.ndarray, up_kernel, up_bias, kernels, biases, *,
     if with_post:
         return out.reshape(B, R * fold)
     return out.reshape(B, R * fold, C_out)
+
+
+# ---------------------------------------------------------------------------------
+# Training: custom VJP for the whole-tail kernel (VERDICT r2 item 1).
+#
+# The backward is ONE pallas kernel per tile that re-derives the per-tile adjoint by
+# tracing ``jax.vjp`` over the SAME pure slab function the forward kernel uses
+# (`_tail_tile_fn`) — jnp-only, so the transposed ops (pad-for-slice, transposed
+# dots, where-masks) lower through Mosaic like any kernel body. Per (b, tile) it
+# emits the full slab cotangent (halo rows included) plus per-weight grad partials
+# accumulated across tiles into VMEM-resident output blocks (tile grid dimension is
+# sequential/"arbitrary"; batch stays parallel with per-b partials summed in XLA).
+# Host side overlap-adds the slab cotangents into dz and pulls the folded-weight
+# cotangents back through the (linear) fold/tile prep with an XLA vjp.
+# ---------------------------------------------------------------------------------
+
+
+def _fold_tail_weights(up_kernel, up_bias, kernels, biases, post_kernel, post_bias,
+                       *, kernel_sizes, dilations, fold, with_post):
+    """Raw dense tail weights → kernel operands. Every step is LINEAR (transpose +
+    concat for the k==stride upsample, dilation zero-stuffing + fold scatter for the
+    MRF convs, bias tiling), so weight cotangents pull back with a plain XLA vjp.
+
+    Returns ((W_up, b_up, wps, bs_t, wp_post|None, bpost_t|None), pads_per_block,
+    post_pads); the pad tuples are static python ints."""
+    u = up_kernel.shape[0]
+    W_up = jnp.concatenate([up_kernel[j].T for j in range(u)], axis=1)  # (C_in, FC)
+    b_up = jnp.tile(up_bias, fold)[None]
+
+    wps, bs_t, pads_per_block = [], [], []
+    w_i = 0
+    for j, _k in enumerate(kernel_sizes):
+        dseq = [item for d in dilations[j] for item in (d, 1)]
+        pads = []
+        for d in dseq:
+            wp, (lo, hi) = fold_conv_kernel(_dilate(kernels[w_i], d), fold)
+            wps.append(wp)
+            bs_t.append(jnp.tile(biases[w_i], fold)[None])
+            pads.append((int(lo), int(hi)))
+            w_i += 1
+        pads_per_block.append(tuple(pads))
+    assert w_i == len(kernels) == len(biases)
+
+    if with_post:
+        wp_post, (lo_p, hi_p) = fold_conv_kernel(post_kernel, fold)
+        bpost_t = jnp.tile(jnp.atleast_1d(post_bias), fold)[None]
+        post_pads = (int(lo_p), int(hi_p))
+    else:
+        wp_post = bpost_t = post_pads = None
+    return ((W_up, b_up, tuple(wps), tuple(bs_t), wp_post, bpost_t),
+            tuple(pads_per_block), post_pads)
+
+
+def _tail_bwd_kernel(z_ref, halo_ref, dy_ref, wup_ref, bup_ref, *refs,
+                     pads_per_block, post_pads, n_out, HL, R, compute_dtype):
+    """Adjoint of one forward tile: recomputes the slab chain and pulls the output
+    cotangent back through it via ``jax.vjp`` of `_tail_tile_fn` traced in-kernel.
+    Every output block — the slab cotangent (with halo rows, for host-side
+    overlap-add) and the per-weight grad partials — is written exactly once per
+    (b, tile) grid point; partials are summed in XLA afterwards. (In-kernel
+    accumulation into constant-index revisited blocks across a sequential tile dim
+    MISCOMPILED on real TPU — dW_up rel err ~4-9 at 3 tiles while interpret mode was
+    exact; per-tile partial blocks also keep both grid dims parallel.)"""
+    n_w = sum(len(p) for p in pads_per_block)
+    has_post = post_pads is not None
+    extra = 2 if has_post else 0
+    outs = refs[2 * n_w + extra:]
+    tile = pl.program_id(1)
+
+    halo = halo_ref[0, 0]
+    z_slab = jnp.concatenate([halo[:HL], z_ref[0, 0], halo[HL:]], axis=0)
+    ws = tuple(r[:] for r in refs[:n_w])
+    bs = tuple(r[:] for r in refs[n_w:2 * n_w])
+
+    def f(z_slab, W_up, b_up, ws, bs, wpost, bpost):
+        return _tail_tile_fn(z_slab, W_up, b_up, ws, bs, wpost, bpost,
+                             row0=tile * n_out, pads_per_block=pads_per_block,
+                             post_pads=post_pads, n_out=n_out, HL=HL, R=R,
+                             compute_dtype=compute_dtype)
+
+    if has_post:
+        _, pull = jax.vjp(f, z_slab, wup_ref[:], bup_ref[:], ws, bs,
+                          refs[2 * n_w][:], refs[2 * n_w + 1][:])
+        dz, dwup, dbup, dws, dbs, dwpost, dbpost = pull(dy_ref[0, 0])
+        grads = [dwup, dbup, *dws, *dbs, dwpost, dbpost]
+    else:
+        _, pull = jax.vjp(lambda z, wu, bu, w, b: f(z, wu, bu, w, b, None, None),
+                          z_slab, wup_ref[:], bup_ref[:], ws, bs)
+        dz, dwup, dbup, dws, dbs = pull(dy_ref[0, 0])
+        grads = [dwup, dbup, *dws, *dbs]
+
+    outs[0][0, 0] = dz
+    for r, g in zip(outs[1:], grads):
+        r[0, 0] = g
+
+
+def _tail_stage_fwd_impl(st, z, up_kernel, up_bias, kernels, biases,
+                         post_kernel, post_bias):
+    return fused_tail_stage(
+        z, up_kernel, up_bias, list(kernels), list(biases),
+        kernel_sizes=st.kernel_sizes, dilations=st.dilations, fold=st.fold,
+        post_kernel=post_kernel, post_bias=post_bias, with_post=st.with_post,
+        rows_per_tile=st.rows_per_tile, interpret=st.interpret,
+        compute_dtype=st.compute_dtype)
+
+
+class _TailStatic:
+    """Hashable static config for the custom-vjp tail (jax caches tracing on it)."""
+
+    __slots__ = ("kernel_sizes", "dilations", "fold", "rows_per_tile",
+                 "bwd_rows_per_tile", "interpret", "compute_dtype", "with_post")
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    def _key(self):
+        return tuple(getattr(self, k) for k in self.__slots__)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _TailStatic) and self._key() == other._key()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tail_cvjp(st, z, up_kernel, up_bias, kernels, biases, post_kernel, post_bias):
+    return _tail_stage_fwd_impl(st, z, up_kernel, up_bias, kernels, biases,
+                                post_kernel, post_bias)
+
+
+def _tail_cvjp_fwd(st, z, up_kernel, up_bias, kernels, biases, post_kernel, post_bias):
+    out = _tail_stage_fwd_impl(st, z, up_kernel, up_bias, kernels, biases,
+                               post_kernel, post_bias)
+    return out, (z, up_kernel, up_bias, kernels, biases, post_kernel, post_bias)
+
+
+def _tail_cvjp_bwd(st, res, dy):
+    z, up_kernel, up_bias, kernels, biases, post_kernel, post_bias = res
+    with_post = st.with_post
+    fold = st.fold
+    folded, pads_per_block, post_pads = _fold_tail_weights(
+        up_kernel, up_bias, kernels, biases, post_kernel, post_bias,
+        kernel_sizes=st.kernel_sizes, dilations=st.dilations, fold=fold,
+        with_post=with_post)
+    W_up, b_up, wps, bs_t, wp_post, bpost_t = folded
+
+    B, T_in, C_in = z.shape
+    C_out = up_kernel.shape[1]
+    FC = fold * C_out
+    out_lanes = fold if with_post else FC
+    lo_p, hi_p = post_pads if with_post else (0, 0)
+    HL = max(sum(lo for lo, _ in p) for p in pads_per_block) + lo_p
+    HR = max(sum(hi for _, hi in p) for p in pads_per_block) + hi_p
+
+    R = T_in
+    Rt = min(st.bwd_rows_per_tile, R)
+    n_tiles = -(-R // Rt)
+    R_pad = n_tiles * Rt
+    assert n_tiles == 1 or (Rt >= HL and Rt >= HR), (Rt, HL, HR)
+    S = Rt + HL + HR
+
+    # cotangent in folded-row form, tiled like the forward output
+    dyr = dy.reshape(B, R, out_lanes)
+    dyr = jnp.pad(dyr, ((0, 0), (0, R_pad - R), (0, 0)))
+    dyt = dyr.reshape(B, n_tiles, Rt, out_lanes)
+
+    zf = jnp.pad(z, ((0, 0), (0, R_pad - R), (0, 0)))
+    zt = zf.reshape(B, n_tiles, Rt, C_in)
+    zp = jnp.pad(zf, ((0, 0), (HL, HR), (0, 0)))
+    lo_idx = jnp.arange(n_tiles)[:, None] * Rt + jnp.arange(HL)[None, :]
+    hi_idx = (jnp.arange(n_tiles)[:, None] + 1) * Rt + HL + jnp.arange(HR)[None, :]
+    halo = zp[:, jnp.concatenate([lo_idx, hi_idx], axis=1)]
+
+    # every grad partial gets its own (b, tile) block — written exactly once, summed
+    # in XLA after the call (see _tail_bwd_kernel docstring for why no in-kernel
+    # accumulation)
+    pb = lambda shape: pl.BlockSpec((1, 1) + shape,
+                                    lambda b, i: (b, i) + (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    pshape = lambda shape: jax.ShapeDtypeStruct((B, n_tiles) + shape, jnp.float32)
+    post_ops, post_specs, post_outs, post_out_specs = [], [], [], []
+    if with_post:
+        post_ops = [wp_post, bpost_t]
+        post_specs = [pl.BlockSpec(wp_post.shape, lambda b, i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(bpost_t.shape, lambda b, i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        post_outs = [pshape(wp_post.shape), pshape(bpost_t.shape)]
+        post_out_specs = [pb(wp_post.shape), pb(bpost_t.shape)]
+
+    compiler_params = None
+    if not st.interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    outs = pl.pallas_call(
+        functools.partial(_tail_bwd_kernel, pads_per_block=pads_per_block,
+                          post_pads=post_pads, n_out=Rt, HL=HL, R=R,
+                          compute_dtype=st.compute_dtype),
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec((1, 1, Rt, C_in), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, HL + HR, C_in), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, Rt, out_lanes), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(W_up.shape, lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(b_up.shape, lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(w.shape, lambda b, i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM) for w in wps]
+                 + [pl.BlockSpec(b.shape, lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM) for b in bs_t]
+                 + post_specs,
+        out_specs=[pl.BlockSpec((1, 1, S, C_in), lambda b, i: (b, i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pb(W_up.shape), pb(b_up.shape)]
+                  + [pb(w.shape) for w in wps]
+                  + [pb(b.shape) for b in bs_t]
+                  + post_out_specs,
+        out_shape=[jax.ShapeDtypeStruct((B, n_tiles, S, C_in), jnp.float32),
+                   pshape(W_up.shape), pshape(b_up.shape)]
+                  + [pshape(w.shape) for w in wps]
+                  + [pshape(b.shape) for b in bs_t]
+                  + post_outs,
+        interpret=st.interpret,
+        compiler_params=compiler_params,
+    )(zt, halo, dyt, W_up, b_up, *wps, *bs_t, *post_ops)
+
+    dz_slab, *dfold_b = outs
+    dfold = [g.sum(axis=(0, 1)) for g in dfold_b]  # per-(b, tile) partials → totals
+
+    # overlap-add the slab cotangents (each tile contributes to its halo rows too)
+    left = dz_slab[:, :, :HL]
+    core = dz_slab[:, :, HL:HL + Rt]
+    right = dz_slab[:, :, HL + Rt:]
+    acc = jnp.zeros((B, R_pad + HL + HR + Rt, C_in), jnp.float32)
+    if HL:
+        lf = jnp.pad(left, ((0, 0), (0, 0), (0, Rt - HL), (0, 0)))
+        acc = acc.at[:, 0:R_pad].add(lf.reshape(B, R_pad, C_in))
+    acc = acc.at[:, HL:HL + R_pad].add(core.reshape(B, R_pad, C_in))
+    if HR:
+        rf = jnp.pad(right, ((0, 0), (0, 0), (0, Rt - HR), (0, 0)))
+        acc = acc.at[:, HL + Rt:HL + Rt + R_pad].add(rf.reshape(B, R_pad, C_in))
+    dz = acc[:, HL:HL + T_in]
+
+    # pull folded-weight cotangents back through the linear prep
+    n_w = len(wps)
+    dW_up, db_up = dfold[0], dfold[1]
+    dws = tuple(dfold[2:2 + n_w])
+    dbs = tuple(dfold[2 + n_w:2 + 2 * n_w])
+    dpost = tuple(dfold[2 + 2 * n_w:])
+    cot = (dW_up, db_up, dws, dbs,
+           dpost[0] if with_post else None, dpost[1] if with_post else None)
+    _, pull = jax.vjp(
+        lambda uk, ub, ks, bs_, pk, pb: _fold_tail_weights(
+            uk, ub, ks, bs_, pk, pb, kernel_sizes=st.kernel_sizes,
+            dilations=st.dilations, fold=fold, with_post=with_post)[0],
+        up_kernel, up_bias, kernels, biases, post_kernel, post_bias)
+    d_up_kernel, d_up_bias, d_kernels, d_biases, d_post_kernel, d_post_bias = pull(cot)
+    return (dz, d_up_kernel, d_up_bias, d_kernels, d_biases,
+            d_post_kernel, d_post_bias)
+
+
+_tail_cvjp.defvjp(_tail_cvjp_fwd, _tail_cvjp_bwd)
+
+
+def fused_tail_stage_grad(z, up_kernel, up_bias, kernels, biases, *,
+                          kernel_sizes: tuple, dilations: tuple, fold: int,
+                          post_kernel=None, post_bias=None, with_post: bool = False,
+                          rows_per_tile: int = 2048, bwd_rows_per_tile: int = 512,
+                          interpret: bool = False, compute_dtype=None):
+    """`fused_tail_stage` with a fused pallas backward (training path). The forward
+    is bit-identical to the inference kernel; ``jax.grad`` through this function
+    runs `_tail_bwd_kernel` — recompute + adjoint of the whole tail per tile, all
+    VMEM-resident at full MXU lanes. bwd_rows_per_tile is smaller than the forward's
+    because the backward keeps the linearization residuals of the whole chain live
+    per tile (reference training hot path: cubegan.py:85-189)."""
+    st = _TailStatic(kernel_sizes=tuple(kernel_sizes),
+                     dilations=tuple(tuple(d) for d in dilations), fold=fold,
+                     rows_per_tile=rows_per_tile,
+                     bwd_rows_per_tile=bwd_rows_per_tile, interpret=interpret,
+                     compute_dtype=compute_dtype, with_post=with_post)
+    return _tail_cvjp(st, z, up_kernel, up_bias, tuple(kernels), tuple(biases),
+                      post_kernel, post_bias)
 
 
 def _mrf_kernel(x_ref, halo_ref, *refs, pads_per_block, n_out, HL, R, compute_dtype):

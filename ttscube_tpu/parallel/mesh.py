@@ -67,30 +67,60 @@ def partition_opt_state(opt_state, params, mesh: Mesh, param_sh=None):
 
     With model>1 this is what makes tensor parallelism a memory win — replicated Adam
     moments for sharded params would force per-step all-gathers and keep full-size
-    copies on every chip. Moments are matched to params by key-path suffix + shape
-    (optax states embed the param tree under mu/nu, so a moment leaf's path ends with
-    its param's path); the longest matching param path wins.
+    copies on every chip. Moments are matched STRUCTURALLY: optax moment trees mirror
+    the param tree (multi_transform masks leave `MaskedNode` gaps), so the state is
+    walked top-down and any subtree whose key-paths + leaf shapes align with the param
+    tree is mapped leaf-for-leaf onto the param shardings; everything else (counts,
+    scalars) replicates. This avoids the key-suffix matching pitfall where a param
+    name colliding with an optimizer field (e.g. a param literally named ``mu``) could
+    inherit the wrong sharding.
     """
+    import optax
+
     if param_sh is None:
         param_sh = partition_params(params, mesh)
+    del optax  # imported only to document the MaskedNode contract below
+    rep = NamedSharding(mesh, P())
+    by_path = {}
     pflat = jax.tree_util.tree_flatten_with_path(params)[0]
     shflat = jax.tree_util.tree_flatten_with_path(param_sh)[0]
-    by_key = {
-        jax.tree_util.keystr(path): (np.shape(leaf), sh)
-        for (path, leaf), (_, sh) in zip(pflat, shflat)
-    }
-    rep = NamedSharding(mesh, P())
+    for (path, leaf), (_, sh) in zip(pflat, shflat):
+        by_path[jax.tree_util.keystr(path)] = (np.shape(leaf), sh)
 
-    def rule(path, leaf):
-        ks = jax.tree_util.keystr(path)
-        best = None
-        for pks, (shape, sh) in by_key.items():
-            if ks.endswith(pks) and np.shape(leaf) == shape:
-                if best is None or len(pks) > len(best[0]):
-                    best = (pks, sh)
-        return best[1] if best is not None else rep
+    def try_align(sub):
+        """If `sub` mirrors the param tree (same key paths, same leaf shapes), return
+        its sharding tree; else None. Masked gaps need no special handling:
+        `optax.MaskedNode` (and None) are ZERO-leaf pytree containers, so plain
+        flattening skips them and plain tree_map preserves them structurally — the
+        returned sharding tree keeps the exact treedef of `sub` (a rep leaf in a gap
+        position would corrupt the treedef and break jit in_shardings)."""
+        try:
+            leaves = jax.tree_util.tree_flatten_with_path(sub)[0]
+        except Exception:
+            return None
+        if not leaves:
+            return None
+        for path, leaf in leaves:
+            hit = by_path.get(jax.tree_util.keystr(path))
+            if hit is None or hit[0] != np.shape(leaf):
+                return None
 
-    return jax.tree_util.tree_map_with_path(rule, opt_state)
+        def pick(path, leaf):
+            return by_path[jax.tree_util.keystr(path)][1]
+
+        return jax.tree_util.tree_map_with_path(pick, sub)
+
+    def walk(node):
+        aligned = try_align(node)
+        if aligned is not None:
+            return aligned
+        children, treedef = jax.tree_util.tree_flatten(
+            node, is_leaf=lambda x: x is not node)
+        if len(children) == 1 and children[0] is node:
+            return rep  # plain leaf (count scalar, u vector, …)
+        return jax.tree_util.tree_unflatten(treedef, [walk(c) for c in children])
+
+    return walk(opt_state)
 
 
 def make_parallel_synthesis(model, mesh: Mesh, max_frames: int):

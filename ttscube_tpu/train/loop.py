@@ -46,7 +46,18 @@ def train(
 
     if resume and os.path.exists(output_base + ".opt.last"):
         sys.stdout.write(f"Resuming from {output_base}.opt.last\n")
-        state = load_train_state(output_base + ".opt.last", state)
+        try:
+            state = load_train_state(output_base + ".opt.last", state)
+        except ValueError as e:
+            # legacy/incompatible optimizer checkpoint: resume weights only
+            if not os.path.exists(output_base + ".last"):
+                raise
+            sys.stdout.write(f"{e}\nFalling back to weights-only resume from "
+                             f"{output_base}.last (optimizer restarts at step 0)\n")
+            from ttscube_tpu.utils.checkpoint import load_params
+
+            state = state.replace(
+                params=load_params(output_base + ".last", state.params))
 
     keeper = BestKeeper(output_base, selection_metric)
     # one fixed base key: per-step variation comes from fold_in(state.step) inside the

@@ -36,7 +36,27 @@ def save_train_state(path: str, state):
 
 def load_train_state(path: str, template):
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        data = f.read()
+    try:
+        return serialization.from_bytes(template, data)
+    except Exception as e:
+        # round-1 `.opt.last` files stored a SINGLE multi_transform state; round-2+
+        # uses a {"d","gtb"} dict of two states (models/cubegan.py:make_optimizer).
+        # Detect the legacy layout and fail with a actionable message instead of a
+        # raw pytree-structure mismatch.
+        try:
+            raw = serialization.msgpack_restore(data)
+        except Exception:
+            raise e
+        opt = raw.get("opt_state") if isinstance(raw, dict) else None
+        if isinstance(opt, dict) and not {"d", "gtb"} <= set(opt.keys()):
+            raise ValueError(
+                f"'{path}' is a legacy (round-1) optimizer checkpoint with a single "
+                "multi_transform state; the current format keeps two states "
+                "{'d','gtb'}. Resume weights only (the trainer does this when "
+                ".opt.last fails to load: load_params on '.last') — the optimizer "
+                "restarts from step 0.") from e
+        raise
 
 
 def save_config(base: str, config: dict):
