@@ -299,3 +299,88 @@ def test_chunked_generator_with_fused_path():
                                       chunk=12, halo=28))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_fused_mrf_full_lane_strided_taps():
+    """fold==1 full-lane path (C % 128 == 0): original kernels with dilation as
+    strided tap slices (zero FLOP inflation) must match the plain dilated chain."""
+    from ttscube_tpu.ops.pallas_resblock import fused_mrf1
+
+    C, T = 128, 600  # rows (600) not a tile multiple of 256
+    ks = (3, 11)
+    dils = ((1, 3, 5), (1, 3, 5))
+    key = jax.random.PRNGKey(3)
+    kernels, biases = [], []
+    for j, k in enumerate(ks):
+        ka, ba = _rand_block(jax.random.fold_in(key, j), C, k, dils[j])
+        kernels += ka
+        biases += ba
+    x = jax.random.normal(jax.random.fold_in(key, 9), (2, T, C))
+
+    acc = None
+    i = 0
+    for j, k in enumerate(ks):
+        h = _plain_resblock1(x, kernels[i:i + 6], biases[i:i + 6], dils[j])
+        acc = h if acc is None else acc + h
+        i += 6
+    want = acc / len(ks)
+    got = fused_mrf1(x, kernels, biases, kernel_sizes=ks, dilations=dils,
+                     fold=1, rows_per_tile=256, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_fused_tail_stage_fc256_mid_stage():
+    """FC == 256 (C_out=64, fold=4): the whole-stage kernel at multiple lane groups,
+    without conv_post (a mid-generator stage)."""
+    from ttscube_tpu.ops.conv import _conv_transpose
+    from ttscube_tpu.ops.pallas_resblock import fused_tail_stage
+
+    C_in, C_out, fold, T_in = 128, 64, 4, 500
+    ks = (3, 11)
+    dils = ((1, 3), (1, 3, 5))
+    key = jax.random.PRNGKey(6)
+    up_kernel = 0.2 * jax.random.normal(key, (fold, C_out, C_in)) / np.sqrt(C_in)
+    up_bias = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (C_out,))
+    kernels, biases = [], []
+    for j, k in enumerate(ks):
+        ka, ba = _rand_block(jax.random.fold_in(key, 2 + j), C_out, k, dils[j])
+        kernels += ka
+        biases += ba
+    z = jax.random.normal(jax.random.fold_in(key, 10), (2, T_in, C_in))
+
+    x = _conv_transpose(jax.nn.leaky_relu(z, 0.1), up_kernel, fold, 0) + up_bias
+    acc = None
+    i = 0
+    for j, k in enumerate(ks):
+        h = _plain_resblock1(x, kernels[i:i + 2 * len(dils[j])],
+                             biases[i:i + 2 * len(dils[j])], dils[j])
+        acc = h if acc is None else acc + h
+        i += 2 * len(dils[j])
+    want = np.asarray(acc / len(ks))
+
+    got = fused_tail_stage(z, up_kernel, up_bias, kernels, biases,
+                           kernel_sizes=ks, dilations=dils, fold=fold,
+                           rows_per_tile=256, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+
+def test_fused_generator_wide_fuse_channels():
+    """Full v1 geometry with EVERY stage fused (fuse_channels=(32,64,128,256)):
+    whole-stage kernels at ch=64 (FC=256, last=False) and ch=32 (final), full-lane
+    strided-tap MRF kernels at ch=128/256 — must still equal Generator.apply."""
+    cfg = HifiganConfig(resblock_kernel_sizes=(3, 11),
+                        resblock_dilation_sizes=((1, 3), (1, 3, 5)))
+    g = Generator(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(8), (1, 6, 80))
+    variables = g.init(jax.random.PRNGKey(0), mel)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.03 if "bias" in jax.tree_util.keystr(p) else x,
+        variables["params"])
+    want = np.asarray(g.apply({"params": params}, mel))
+    got = np.asarray(generator_apply_fused(params, mel, cfg, rows_per_tile=256,
+                                           interpret=True,
+                                           fuse_channels=(32, 64, 128, 256)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -134,7 +134,8 @@ class Cubegan:
 
             gen = lambda c: generator_apply_fused(
                 params["gen"], c, self.config.hifigan,
-                compute_dtype=self.config.hifigan.jnp_compute_dtype)
+                compute_dtype=self.config.hifigan.jnp_compute_dtype,
+                fuse_channels=self.config.hifigan.fuse_channels)
         else:
             gen = lambda c: self.generator.apply({"params": params["gen"]}, c)
         if chunk_frames is not None:

@@ -151,7 +151,12 @@ class G2P:
         self.lookup: dict[str, list[str]] = {}
         self.model: Seq2Seq | None = None
         self.params = None
-        self._jit_cache = {}
+        # LRU-bounded: one executable per bucketed word length; a long-tail corpus
+        # sweep would otherwise accumulate executables without bound
+        from collections import OrderedDict
+
+        self._jit_cache = OrderedDict()
+        self._jit_cache_max = 16
         self._jax = jax
         from ttscube_tpu.data.text import SimpleTokenizer
 
@@ -256,10 +261,14 @@ class G2P:
             return []
         x = self.encode_words(words)
         key = ("free", x.shape[1])
-        if key not in self._jit_cache:
+        if key in self._jit_cache:
+            self._jit_cache.move_to_end(key)
+        else:
             self._jit_cache[key] = self._jax.jit(
                 lambda p, x: self.model.apply({"params": p}, x,
                                               max_steps=self.MAX_PHONES))
+            while len(self._jit_cache) > self._jit_cache_max:
+                self._jit_cache.popitem(last=False)
         logits, done = self._jit_cache[key](self.params, jnp.asarray(x))
         toks = np.asarray(greedy_decode(logits, done))
         out = []

@@ -49,6 +49,14 @@ class HifiganConfig:
     # is ONE kernel, so the widest activation never touches HBM. Measured e2e serving
     # speedup on v5e: 1.73x at B=32, 1.26x at B=64, 1.02x at B=128.
     fused_tail: bool = False
+    # stage widths eligible for pallas fusion on the serving path: narrow stages fold
+    # time into lanes (C·fold == 128); full-lane stages (C % 128 == 0) fuse the whole
+    # MRF with dilation as strided tap slices (zero FLOP inflation; the win is one HBM
+    # round trip per stage instead of one per conv). Measured on v5e at B=128/F=512
+    # (generator-only, fp32): plain 215 ms, (32,) 209 ms, (32,128) 215 ms,
+    # (32,64) 240 ms, (32,128,256) 240 ms — the wide stages are MXU-bound there, so
+    # XLA's dilated convs already win; (32,) stays the default.
+    fuse_channels: tuple[int, ...] = (32,)
     # training: run the generator forward through hifigan_fused.generator_apply_fused_train
     # — the final stage is the fused kernel with a fused pallas BACKWARD
     # (ops/pallas_resblock.fused_tail_stage_grad custom VJP), so the widest

@@ -9,7 +9,11 @@ activation (frames·total_upsample × C) never touches HBM. Wide/odd-shaped stag
 back to plain XLA convs, so the function is exact for any config.
 
 Measured on v5e vs the flax Generator (full serving bench, F=512): 1.73x at B=32,
-1.26x at B=64, 1.02x at B=128 — a win at every batch.
+1.26x at B=64, 1.02x at B=128 — a win at every batch. Generator-only at B=32 the
+fused tail is 2.09x (140 -> 67 ms). Wider fusion (fuse_channels beyond (32,)) is
+neutral (C=128 full-lane MRF) to negative (C=64 whole-stage: folded-dilation FLOP
+inflation; C=256 MRF) at B=128 where the wide stages are MXU-bound — XLA's dilated
+convs already saturate the MXU there, so (32,) stays the default.
 
 Training keeps the flax module path (autodiff); this is the serving path, reached via
 ``Cubegan.infer(..., fused_tail=True)`` / ``HifiganConfig.fused_tail``.
@@ -49,15 +53,26 @@ def force_pallas_interpret():
         _FORCE_INTERPRET = prev
 
 
-def _plain_resblock1(x, kernels, biases, dilations):
-    """XLA fallback, mirrors models/hifigan.py:61-81 exactly."""
+def _cd(x, w, compute_dtype):
+    """Cast activation+kernel for the MXU (fp32 accumulation via _conv's
+    preferred_element_type), mirroring WNConv1d's compute_dtype semantics."""
+    if compute_dtype is None:
+        return x, w
+    return x.astype(compute_dtype), w.astype(compute_dtype)
+
+
+def _plain_resblock1(x, kernels, biases, dilations, compute_dtype=None):
+    """XLA fallback, mirrors models/hifigan.py:61-81 exactly (incl. the modules'
+    compute_dtype cast — bf16 matmuls, fp32 accumulation/residuals)."""
     i = 0
     for d in dilations:
         h = jax.nn.leaky_relu(x, LRELU_SLOPE)
         k = kernels[i].shape[0]
-        h = _conv(h, kernels[i], 1, d * (k - 1) // 2, d, 1) + biases[i]
+        h = _conv(*_cd(h, kernels[i], compute_dtype),
+                  1, d * (k - 1) // 2, d, 1) + biases[i]
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
-        h = _conv(h, kernels[i + 1], 1, (k - 1) // 2, 1, 1) + biases[i + 1]
+        h = _conv(*_cd(h, kernels[i + 1], compute_dtype),
+                  1, (k - 1) // 2, 1, 1) + biases[i + 1]
         x = x + h
         i += 2
     return x
@@ -87,16 +102,18 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
     if mel.shape[0] > fuse_max_batch:
         fuse_channels = ()
     pp = params["conv_pre"]
-    x = _conv(mel, _wn(pp), 1, 3, 1, 1) + pp["bias"]
+    x = _conv(*_cd(mel, _wn(pp), compute_dtype), 1, 3, 1, 1) + pp["bias"]
     ch = cfg.upsample_initial_channel
     n_stages = len(cfg.upsample_rates)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         ch //= 2
-        fold_i = 128 // ch if (ch < 128 and 128 % ch == 0) else 1
-        if (i == n_stages - 1 and cfg.resblock == "1" and k == u == fold_i
-                and ch * fold_i == 128 and ch in fuse_channels):
-            # whole final stage + conv_post + tanh as ONE kernel: the widest
-            # activation (frames·total_upsample × C) never touches HBM
+        if (cfg.resblock == "1" and k == u and (u * ch) % 128 == 0
+                and ch in fuse_channels):
+            # WHOLE stage (k==stride upsample + MRF [+ conv_post + tanh on the final
+            # stage]) as ONE kernel at fold=u: the stage activation never touches
+            # HBM. Covers the final C=32 stage (FC=128) and the C=64 stage (u=4 →
+            # FC=256 — lanes beyond 128 are extra lane groups).
+            last = i == n_stages - 1
             up = params[f"up_{i}"]
             kernels, biases = [], []
             for j, rd in enumerate(cfg.resblock_dilation_sizes):
@@ -105,25 +122,31 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                     kernels.append(_wn(pj[f"WNConv1d_{m}"]))
                     biases.append(pj[f"WNConv1d_{m}"]["bias"])
             pp = params["conv_post"]
-            audio = fused_tail_stage(
+            x = fused_tail_stage(
                 x, _wn(up), up["bias"], kernels, biases,
                 kernel_sizes=tuple(cfg.resblock_kernel_sizes),
                 dilations=tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
-                fold=fold_i, post_kernel=_wn(pp), post_bias=pp["bias"],
-                with_post=True, rows_per_tile=rows_per_tile, interpret=interpret,
+                fold=u, post_kernel=_wn(pp) if last else None,
+                post_bias=pp["bias"] if last else None,
+                with_post=last, rows_per_tile=rows_per_tile, interpret=interpret,
                 compute_dtype=compute_dtype)
-            return audio[:, : mel.shape[1] * cfg.total_upsample]
+            if last:
+                return x[:, : mel.shape[1] * cfg.total_upsample]
+            continue
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         up = params[f"up_{i}"]
-        x = _conv_transpose(x, _wn(up), u, (k - u) // 2) + up["bias"]
-        # fuse only stages that FOLD (C < 128): that's where XLA under-utilizes lanes.
-        # At C == 128 (fold=1) the pallas kernel must densify dilation zeros into the
-        # folded matmuls (~5x FLOP inflation for d=5) while XLA's dilated conv does
-        # not — measured net loss, so fall back.
+        x = _conv_transpose(*_cd(x, _wn(up), compute_dtype),
+                            u, (k - u) // 2) + up["bias"]
+        # Mid-stage MRF fusion: either folded narrow stages (C·fold == 128) or
+        # full-lane stages (C % 128 == 0, fold=1 — dilation as strided tap slices,
+        # zero FLOP inflation; the win is one HBM round trip per stage instead of
+        # one per conv).
         fold = 128 // ch if (ch < 128 and 128 % ch == 0) else 1
-        fusable = (cfg.resblock == "1" and fold >= 2 and ch * fold == 128
-                   and x.shape[1] % fold == 0 and ch in fuse_channels)
+        fusable = (cfg.resblock == "1" and ch in fuse_channels
+                   and ((fold >= 2 and ch * fold == 128 and x.shape[1] % fold == 0)
+                        or ch % 128 == 0))
         if fusable:
+            fold = 1 if ch % 128 == 0 else fold
             # whole MRF stage (all resblocks + averaging) in ONE pallas kernel:
             # the (B, T, C) activation makes one HBM round trip per stage instead
             # of one per resblock
@@ -147,10 +170,12 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                 n = 2 * len(rd)
                 kernels = [_wn(pj[f"WNConv1d_{m}"]) for m in range(n)]
                 biases = [pj[f"WNConv1d_{m}"]["bias"] for m in range(n)]
-                acc_h = _plain_resblock1(x, kernels, biases, rd)
+                acc_h = _plain_resblock1(x, kernels, biases, rd,
+                                         compute_dtype=compute_dtype)
                 acc = acc_h if acc is None else acc + acc_h
             x = acc / len(cfg.resblock_kernel_sizes)
-    x = jax.nn.leaky_relu(x, 0.01)
+    # final act/conv/tanh stay fp32, mirroring Generator (models/hifigan.py:148-150)
+    x = jax.nn.leaky_relu(x.astype(jnp.float32), 0.01)
     pp = params["conv_post"]
     x = _conv(x, _wn(pp), 1, 3, 1, 1) + pp["bias"]
     audio = jnp.tanh(x)[..., 0]
@@ -181,7 +206,7 @@ def generator_apply_fused_train(params, mel: jnp.ndarray, cfg: HifiganConfig,
         interpret = _FORCE_INTERPRET and not on_tpu
         fuse = on_tpu or interpret
     pp = params["conv_pre"]
-    x = _conv(mel, _wn(pp), 1, 3, 1, 1) + pp["bias"]
+    x = _conv(*_cd(mel, _wn(pp), compute_dtype), 1, 3, 1, 1) + pp["bias"]
     ch = cfg.upsample_initial_channel
     n_stages = len(cfg.upsample_rates)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -208,7 +233,8 @@ def generator_apply_fused_train(params, mel: jnp.ndarray, cfg: HifiganConfig,
             return audio[:, : mel.shape[1] * cfg.total_upsample]
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         up = params[f"up_{i}"]
-        x = _conv_transpose(x, _wn(up), u, (k - u) // 2) + up["bias"]
+        x = _conv_transpose(*_cd(x, _wn(up), compute_dtype),
+                            u, (k - u) // 2) + up["bias"]
         acc = None
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                          cfg.resblock_dilation_sizes)):
@@ -216,10 +242,12 @@ def generator_apply_fused_train(params, mel: jnp.ndarray, cfg: HifiganConfig,
             n = 2 * len(rd)
             kernels = [_wn(pj[f"WNConv1d_{m}"]) for m in range(n)]
             biases = [pj[f"WNConv1d_{m}"]["bias"] for m in range(n)]
-            acc_h = _plain_resblock1(x, kernels, biases, rd)
+            acc_h = _plain_resblock1(x, kernels, biases, rd,
+                                     compute_dtype=compute_dtype)
             acc = acc_h if acc is None else acc + acc_h
         x = acc / len(cfg.resblock_kernel_sizes)
-    x = jax.nn.leaky_relu(x, 0.01)
+    # final act/conv/tanh stay fp32, mirroring Generator (models/hifigan.py:148-150)
+    x = jax.nn.leaky_relu(x.astype(jnp.float32), 0.01)
     pp = params["conv_post"]
     x = _conv(x, _wn(pp), 1, 3, 1, 1) + pp["bias"]
     audio = jnp.tanh(x)[..., 0]

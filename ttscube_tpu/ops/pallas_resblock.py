@@ -203,9 +203,15 @@ def _tail_tile_fn(z_slab, W_up, b_up, ws, bs, wpost, bpost, *, row0, pads_per_bl
     has_post = post_pads is not None
     lo_p, hi_p = post_pads if has_post else (0, 0)
 
+    # 0/1 validity column computed ONCE per tile; each conv's mask is then a single
+    # broadcast multiply instead of iota+compares+select — the masking was ~2x the
+    # MXU time per tile at B=128 (VPU-bound kernel)
+    S = z_slab.shape[0]
+    coord = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) + row0
+    colf = ((coord >= HL) & (coord < HL + R)).astype(z_slab.dtype)
+
     def mask(h, off):
-        coord = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + (row0 + off)
-        return jnp.where((coord >= HL) & (coord < HL + R), h, 0.0)
+        return h * colf[off: off + h.shape[0]]
 
     def conv(h, w, b, off):
         if compute_dtype is not None:
@@ -302,7 +308,9 @@ def fused_tail_stage(z: jnp.ndarray, up_kernel, up_bias, kernels, biases, *,
     B, T_in, C_in = z.shape
     u, C_out, _ = up_kernel.shape
     FC = fold * C_out
-    assert u == fold and FC == 128, (u, fold, C_out)
+    # FC any multiple of 128: lanes beyond 128 are extra lane groups (the C=64
+    # stage runs at fold=4 → FC=256)
+    assert u == fold and FC % 128 == 0, (u, fold, C_out)
 
     W_up = jnp.concatenate([up_kernel[j].T for j in range(u)], axis=1)  # (C_in, 128)
     b_up = jnp.tile(up_bias, fold)[None]
@@ -673,38 +681,48 @@ def fused_tail_stage_grad(z, up_kernel, up_bias, kernels, biases, *,
                       post_kernel, post_bias)
 
 
-def _mrf_kernel(x_ref, halo_ref, *refs, pads_per_block, n_out, HL, R, compute_dtype):
+def _mrf_kernel(x_ref, halo_ref, *refs, pads_per_block, dils_per_block, n_out, HL, R,
+                compute_dtype):
     """One tile: a WHOLE MRF stage — every ResBlock1 chain on the same VMEM-resident
     slab, outputs averaged — so the (B, T, C) activation makes ONE HBM round trip per
     stage instead of one per resblock (plus the XLA (a+b+c)/3 pass).
 
     Same slab/halo/masking scheme as `_resblock_kernel`; the slab is padded with the
-    LARGEST block's halo, and each block's chain starts `HL - HL_b` rows in."""
+    LARGEST block's halo, and each block's chain starts `HL - HL_b` rows in.
+
+    dils_per_block mirrors pads_per_block with each conv's TAP STRIDE: folded
+    weights (fold>1) are densified so their stride is 1; at fold==1 the original
+    (k, C, C) kernels are kept and dilation d becomes strided tap slices
+    h[m·d : m·d+rout] — zero FLOP inflation at full lanes (C % 128 == 0)."""
     n_w = sum(len(p) for p in pads_per_block)
     wrefs = refs[:n_w]
     brefs = refs[n_w:2 * n_w]
     out_ref = refs[2 * n_w]
     tile = pl.program_id(1)
 
-    def conv(h, wref, bref, off):
+    S = HL + n_out + HR_of(pads_per_block)
+    coord = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) + tile * n_out
+    colf = ((coord >= HL) & (coord < HL + R)).astype(jnp.float32)
+
+    def conv(h, wref, bref, off, d):
         w = wref[:]
         if compute_dtype is not None:
             h = h.astype(compute_dtype)
             w = w.astype(compute_dtype)
         kp = w.shape[0]
-        rout = h.shape[0] - (kp - 1)
+        rout = h.shape[0] - d * (kp - 1)
         acc = jnp.dot(h[0:rout], w[0], preferred_element_type=jnp.float32)
         for m in range(1, kp):
-            acc += jnp.dot(h[m:m + rout], w[m], preferred_element_type=jnp.float32)
+            acc += jnp.dot(h[m * d:m * d + rout], w[m],
+                           preferred_element_type=jnp.float32)
         acc = acc + bref[0]
-        coord = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + (tile * n_out + off)
-        return jnp.where((coord >= HL) & (coord < HL + R), acc, 0.0)
+        return acc * colf[off: off + rout]
 
     halo = halo_ref[0, 0]
     slab = jnp.concatenate([halo[:HL], x_ref[0, 0], halo[HL:]], axis=0)
     acc_out = None
     ref_i = 0
-    for pads in pads_per_block:
+    for pads, ds in zip(pads_per_block, dils_per_block):
         HLb = sum(lo for lo, _ in pads)
         HRb = sum(hi for _, hi in pads)
         # this block only needs (HLb, HRb) of the slab's (HL, HR) margin
@@ -715,14 +733,19 @@ def _mrf_kernel(x_ref, halo_ref, *refs, pads_per_block, n_out, HL, R, compute_dt
             lo1, hi1 = pads[2 * p]
             lo2, hi2 = pads[2 * p + 1]
             h = jax.nn.leaky_relu(x_res, 0.1)
-            h = conv(h, wrefs[ref_i], brefs[ref_i], off + lo1)
+            h = conv(h, wrefs[ref_i], brefs[ref_i], off + lo1, ds[2 * p])
             h = jax.nn.leaky_relu(h, 0.1)
-            h = conv(h, wrefs[ref_i + 1], brefs[ref_i + 1], off + lo1 + lo2)
+            h = conv(h, wrefs[ref_i + 1], brefs[ref_i + 1], off + lo1 + lo2,
+                     ds[2 * p + 1])
             x_res = x_res[lo1 + lo2: x_res.shape[0] - (hi1 + hi2)] + h
             off += lo1 + lo2
             ref_i += 2
         acc_out = x_res if acc_out is None else acc_out + x_res
     out_ref[0, 0] = acc_out / len(pads_per_block)
+
+
+def HR_of(pads_per_block):
+    return max(sum(hi for _, hi in p) for p in pads_per_block)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations", "fold",
@@ -733,27 +756,36 @@ def fused_mrf1(x: jnp.ndarray, kernels, biases, *, kernel_sizes: tuple,
                interpret: bool = False, compute_dtype=None) -> jnp.ndarray:
     """A whole MRF stage — mean of len(kernel_sizes) ResBlock1s — as ONE pallas kernel.
 
-    x: (B, T, C) with T % fold == 0 and fold·C == 128.
+    x: (B, T, C) with T % fold == 0 and fold·C == 128, or fold == 1 and C % 128 == 0
+    (full-lane stages C=128/256: original kernels, dilation as strided tap slices —
+    zero FLOP inflation, the fusion win is purely HBM traffic).
     kernels/biases: flat lists, block-major: for each resblock j, its
     2·len(dilations[j]) weight-norm-applied (k_j, C, C) kernels / (C,) biases in call
     order [conv_d, conv_1] per dilation (reference MRF structure hifigan models.py via
     models/hifigan.py:104-128)."""
     B, T, C = x.shape
     FC = fold * C
-    assert fold >= 2 and fold * C == 128, (fold, C)
+    assert (fold >= 2 and fold * C == 128) or (fold == 1 and C % 128 == 0), (fold, C)
     assert T % fold == 0, (T, fold)
 
-    wps, pads_per_block = [], []
+    wps, pads_per_block, dils_per_block = [], [], []
     w_i = 0
     for j, k in enumerate(kernel_sizes):
         dseq = [item for d in dilations[j] for item in (d, 1)]
-        pads = []
+        pads, dils_b = [], []
         for d in dseq:
-            wp, (lo, hi) = fold_conv_kernel(_dilate(kernels[w_i], d), fold)
+            if fold == 1:
+                wp = kernels[w_i]
+                lo = hi = d * (wp.shape[0] - 1) // 2
+                dils_b.append(d)
+            else:
+                wp, (lo, hi) = fold_conv_kernel(_dilate(kernels[w_i], d), fold)
+                dils_b.append(1)
             wps.append(wp)
             pads.append((int(lo), int(hi)))
             w_i += 1
         pads_per_block.append(tuple(pads))
+        dils_per_block.append(tuple(dils_b))
     assert w_i == len(kernels) == len(biases)
     HL = max(sum(lo for lo, _ in p) for p in pads_per_block)
     HR = max(sum(hi for _, hi in p) for p in pads_per_block)
@@ -781,6 +813,7 @@ def fused_mrf1(x: jnp.ndarray, kernels, biases, *, kernel_sizes: tuple,
             vmem_limit_bytes=96 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(_mrf_kernel, pads_per_block=tuple(pads_per_block),
+                          dils_per_block=tuple(dils_per_block),
                           n_out=Rt, HL=HL, R=R, compute_dtype=compute_dtype),
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec((1, 1, Rt, FC), lambda b, i: (b, i, 0, 0),
