@@ -128,7 +128,8 @@ class VocoderDataset:
     def __init__(self, path: str, target_sample_rate: int = 24000,
                  lowres_sample_rate: int = 2400, max_segment_size: int = -1,
                  random_start: bool = True, hop_size: int = 240,
-                 cache_dir: str = "data/cache"):
+                 cache_dir: str = "data/cache", augment_prob: float = 0.0,
+                 noise_dir: str | None = None, augment_seed: int = 0):
         from ttscube_tpu.dsp.mel import MelSpec, feature_mel_config
         import jax
 
@@ -138,6 +139,16 @@ class VocoderDataset:
         self._random_start = random_start
         self._hop = hop_size
         self._cache = cache_dir
+        # opt-in augmentation (data/augment.py — the working equivalent of the
+        # reference's broken audio.py chain): applied to the cropped segment, with
+        # low-res audio + mel recomputed from the augmented samples, so augmentation
+        # composes with the feature cache (the cache keeps the CLEAN features)
+        self._augment_prob = augment_prob
+        self._augment_rng = np.random.default_rng(augment_seed)
+        self._noise_files = []
+        if noise_dir and os.path.isdir(noise_dir):
+            self._noise_files = [join(noise_dir, f) for f in sorted(listdir(noise_dir))
+                                 if f.endswith(".wav")]
         os.makedirs(cache_dir, exist_ok=True)
         self._mel = jax.jit(MelSpec(feature_mel_config(target_sample_rate,
                                                        hop_length=hop_size)))
@@ -169,15 +180,35 @@ class VocoderDataset:
         if self._max_segment == -1 or len(wav) < self._max_segment or not self._random_start:
             if not self._random_start and self._max_segment != -1 and len(wav) > self._max_segment:
                 hs = self._sr // self._sr_low
-                return (wav[: self._max_segment], wav_low[: self._max_segment // hs],
-                        mel[: self._max_segment // self._hop + 1])
-            return wav, wav_low, mel
+                return self._augmented(wav[: self._max_segment],
+                                       wav_low[: self._max_segment // hs],
+                                       mel[: self._max_segment // self._hop + 1])
+            return self._augmented(wav, wav_low, mel)
         start = random.randint(0, len(wav) - self._max_segment - 1)
         start = start // self._hop * self._hop
         hs = self._sr // self._sr_low
         stop = start + self._max_segment
-        return (wav[start:stop], wav_low[start // hs : start // hs + self._max_segment // hs],
-                mel[start // self._hop : stop // self._hop + 1])
+        return self._augmented(
+            wav[start:stop],
+            wav_low[start // hs : start // hs + self._max_segment // hs],
+            mel[start // self._hop : stop // self._hop + 1])
+
+    def _augmented(self, wav, wav_low, mel):
+        """With augment_prob > 0: perturb the (cropped) audio and recompute its
+        low-res twin + mel so conditioning matches the augmented waveform. Cropped
+        segments have a fixed length, so the mel recompute hits one cached jit
+        executable."""
+        if self._augment_prob <= 0.0:
+            return wav, wav_low, mel
+        from ttscube_tpu.data.augment import alter
+        from ttscube_tpu.utils.wavio import resample
+
+        aug = alter(wav, self._augment_rng, self._sr, prob=self._augment_prob,
+                    noise_files=self._noise_files)
+        if aug is wav:
+            return wav, wav_low, mel
+        return (aug, resample(aug, self._sr, self._sr_low),
+                np.asarray(self._mel(aug))[: len(mel)])
 
 
 def batch_iterator(dataset, batch_size: int, collate, shuffle: bool = True, seed: int = 0,

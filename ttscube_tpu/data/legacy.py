@@ -3,9 +3,9 @@
 use ``data/encodings.py`` + ``data/collate.py``; these support the legacy importer
 artifacts (.txt/.lab corpora) and LTS lexicon files.
 
-(The reference's ``cube/io_utils/audio.py`` augmentation chain is NOT reproduced: it is
-broken in the reference itself — missing imports, absent pysndfx dep — and unreferenced
-by live code; SURVEY §2.2 flags it as vestigial.)
+(The reference's ``cube/io_utils/audio.py`` augmentation chain — broken in the
+reference itself: missing imports, absent pysndfx dep, no live caller — has a WORKING
+equivalent at ``data/augment.py``, opt-in via ``VocoderDataset(augment_prob=...)``.)
 """
 
 from __future__ import annotations
