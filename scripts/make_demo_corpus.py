@@ -83,32 +83,44 @@ def _noise(n, lo, hi, rng, amp=0.18, sr=SR):
     return (amp * y / peak * w).astype(np.float32)
 
 
-def synth_char(ch, dur_ms, f0_a, f0_b, rng):
+def synth_char(ch, dur_ms, f0_a, f0_b, rng, vt=1.0):
+    """vt: vocal-tract scale — multiplies formant/band frequencies (speaker identity)."""
     n = int(dur_ms * SR / 1000)
     if n <= 0:
         return np.zeros(0, np.float32)
     if ch in VOWELS:
-        return _voiced(n, f0_a, f0_b, VOWELS[ch])
+        return _voiced(n, f0_a, f0_b, tuple(f * vt for f in VOWELS[ch]))
     if ch in NASALS:
-        return _voiced(n, f0_a, f0_b, NASALS[ch], amp=0.25)
+        return _voiced(n, f0_a, f0_b, tuple(f * vt for f in NASALS[ch]), amp=0.25)
     if ch in APPROX:
-        return _voiced(n, f0_a, f0_b, APPROX[ch], amp=0.3)
+        return _voiced(n, f0_a, f0_b, tuple(f * vt for f in APPROX[ch]), amp=0.3)
     if ch in FRICS:
         lo, hi = FRICS[ch]
-        return _noise(n, lo, hi, rng)
+        return _noise(n, lo * vt, min(hi * vt, SR / 2 - 500), rng)
     if ch in STOPS:
         out = np.zeros(n, np.float32)
         burst = min(n // 3, int(0.012 * SR))
         if burst > 8:
-            f = STOPS[ch]
-            out[-burst:] = _noise(burst, max(f - 800, 200), f + 2000, rng, amp=0.3)
+            f = STOPS[ch] * vt
+            out[-burst:] = _noise(burst, max(f - 800, 200),
+                                  min(f + 2000, SR / 2 - 500), rng, amp=0.3)
         return out
     return np.zeros(n, np.float32)  # space / punctuation = silence
 
 
-def make_sentence(rng):
+def speaker_profile(k: int, n_speakers: int):
+    """Deterministic per-speaker acoustics: f0 register + vocal-tract scale, spanning
+    a bass→soprano range so the speaker embedding has real signal to learn."""
+    u = 0.0 if n_speakers <= 1 else k / (n_speakers - 1)
+    return {"f0": 0.75 + 0.85 * u,   # 0.75x .. 1.6x of the base register
+            "vt": 0.90 + 0.22 * u}   # formants 0.90x .. 1.12x
+
+
+def make_sentence(rng, profile=None):
+    profile = profile or {"f0": 1.0, "vt": 1.0}
     words = [WORDS[rng.integers(len(WORDS))] for _ in range(rng.integers(4, 9))]
     text = " ".join(words) + "."
+    rate = rng.uniform(0.8, 1.3)  # per-sentence speaking rate → duration variance
     chars, durs = [], []
     for ch in text:
         if ch in VOWELS:
@@ -122,15 +134,15 @@ def make_sentence(rng):
         else:
             d = rng.integers(50, 110)
         chars.append(ch)
-        durs.append(int(d))
+        durs.append(max(int(d * rate), 20))
     total_ms = sum(durs)
-    f0_hi, f0_lo = 170.0, 95.0
+    f0_hi, f0_lo = 170.0 * profile["f0"], 95.0 * profile["f0"]
     audio = []
     t_ms = 0
     for ch, d in zip(chars, durs):
         a = f0_hi + (f0_lo - f0_hi) * t_ms / total_ms
         b = f0_hi + (f0_lo - f0_hi) * (t_ms + d) / total_ms
-        audio.append(synth_char(ch, d, a, b, rng))
+        audio.append(synth_char(ch, d, a, b, rng, vt=profile["vt"]))
         t_ms += d
     return text, durs, np.concatenate(audio)
 
@@ -140,32 +152,41 @@ def main(args):
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.output, exist_ok=True)
-    lines = []
     total_s = 0.0
-    for i in range(args.sentences):
-        text, durs, audio = make_sentence(rng)
-        # lead-in/out silence so the aligner-pause semantics have something real
-        pad = np.zeros(int(0.05 * SR), np.float32)
-        audio = np.concatenate([pad, audio, pad])
-        fn = f"chap_{i:05d}"
-        write_wav(os.path.join(args.output, fn + ".wav"), audio, SR)
-        start, end = 50, 50 + sum(durs)
-        # phone == the character itself for letters; non-alpha positions need a
-        # placeholder token (the merge keeps the text char for non-alpha anyway,
-        # and the space-separated phone field must stay len(text) long)
-        phones = " ".join(ch if ch.isalpha() else "_" for ch in text)
-        lines.append("|".join([fn, str(start), str(end), text, phones,
-                               " ".join(str(d) for d in durs)]))
-        total_s += len(audio) / SR
-    with open(os.path.join(args.output, "align.txt"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {args.sentences} utterances ({total_s/60:.1f} min audio) "
-          f"to {args.output}/")
+    align_files = []
+    for k in range(args.speakers):
+        profile = speaker_profile(k, args.speakers)
+        lines = []
+        for i in range(args.sentences):
+            text, durs, audio = make_sentence(rng, profile)
+            # lead-in/out silence so the aligner-pause semantics have something real
+            pad = np.zeros(int(0.05 * SR), np.float32)
+            audio = np.concatenate([pad, audio, pad])
+            fn = f"spk{k}_chap_{i:05d}" if args.speakers > 1 else f"chap_{i:05d}"
+            write_wav(os.path.join(args.output, fn + ".wav"), audio, SR)
+            start, end = 50, 50 + sum(durs)
+            # phone == the character itself for letters; non-alpha positions need a
+            # placeholder token (the merge keeps the text char for non-alpha anyway,
+            # and the space-separated phone field must stay len(text) long)
+            phones = " ".join(ch if ch.isalpha() else "_" for ch in text)
+            lines.append("|".join([fn, str(start), str(end), text, phones,
+                                   " ".join(str(d) for d in durs)]))
+            total_s += (end - start) / 1000.0 + 0.1
+        # one alignment file per speaker: import each with its own --speaker flag
+        # (the importer's per-file speaker semantics, import_blizzard_2023.py)
+        name = f"align_spk{k}.txt" if args.speakers > 1 else "align.txt"
+        with open(os.path.join(args.output, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        align_files.append(name)
+    print(f"wrote {args.speakers * args.sentences} utterances "
+          f"({total_s/60:.1f} min audio, {args.speakers} speakers) to {args.output}/ "
+          f"[{', '.join(align_files)}]")
 
 
 if __name__ == "__main__":
     ap = ArgumentParser()
     ap.add_argument("--output", default="corpus")
     ap.add_argument("--sentences", type=int, default=300)
+    ap.add_argument("--speakers", type=int, default=1)
     ap.add_argument("--seed", type=int, default=7)
     main(ap.parse_args())
