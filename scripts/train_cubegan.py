@@ -94,6 +94,12 @@ def _train(args):
         sample_rate=args.sample_rate,
         hop_size=args.hop_size,
     )
+    if args.fused_tail_train:
+        # final-stage generator forward+backward as fused pallas kernels
+        # (ops/pallas_resblock.fused_tail_stage_grad custom VJP; TPU-only path)
+        from dataclasses import replace as _dc_replace
+        from ttscube_tpu.models.hifigan import HifiganConfig
+        cfg = _dc_replace(cfg, hifigan=HifiganConfig(fused_tail_train=True))
     model = Cubegan(cfg, lm=lm)
     from ttscube_tpu.utils.wordvec import make_word_embedder
     collate = CubeganCollate(encodings, word_embedder=make_word_embedder(args.lm),
@@ -155,5 +161,9 @@ if __name__ == "__main__":
     parser.add_argument("--mesh-model", dest="mesh_model", type=int, default=1)
     parser.add_argument("--opt-save-every", dest="opt_save_every", type=int, default=1,
                         help="epochs between full-state .opt.last saves (default 1)")
+    parser.add_argument("--fused-tail-train", dest="fused_tail_train",
+                        action="store_true",
+                        help="fused pallas forward+backward for the generator's final "
+                             "stage (TPU; ~10%% faster GAN step at the default crop)")
     parser.add_argument("--resume", dest="resume", action="store_true")
     _train(parser.parse_args())

@@ -61,18 +61,30 @@ def _cd(x, w, compute_dtype):
     return x.astype(compute_dtype), w.astype(compute_dtype)
 
 
-def _plain_resblock1(x, kernels, biases, dilations, compute_dtype=None):
+def _st(x, storage_dtype):
+    """Cast an activation for HBM residency. Distinct from compute_dtype: the TPU
+    MXU already runs fp32 convs at bf16 input precision (DEFAULT precision), so
+    casting at the matmul changes nothing — what pays is HALVING the HBM traffic of
+    the activations *between* convs. The generator is HBM-bound at every measured
+    batch (v5e, F=512): bf16 storage is 215 -> 152 ms at B=128 (generator-only,
+    plain XLA) and 1.64x on the final stage alone."""
+    return x if storage_dtype is None else x.astype(storage_dtype)
+
+
+def _plain_resblock1(x, kernels, biases, dilations, compute_dtype=None,
+                     storage_dtype=None):
     """XLA fallback, mirrors models/hifigan.py:61-81 exactly (incl. the modules'
-    compute_dtype cast — bf16 matmuls, fp32 accumulation/residuals)."""
+    compute_dtype cast — bf16 matmuls, fp32 accumulation; storage_dtype additionally
+    keeps the inter-conv activations/residuals in bf16, halving HBM traffic)."""
     i = 0
     for d in dilations:
         h = jax.nn.leaky_relu(x, LRELU_SLOPE)
         k = kernels[i].shape[0]
-        h = _conv(*_cd(h, kernels[i], compute_dtype),
-                  1, d * (k - 1) // 2, d, 1) + biases[i]
+        h = _st(_conv(*_cd(h, kernels[i], compute_dtype),
+                      1, d * (k - 1) // 2, d, 1) + biases[i], storage_dtype)
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
-        h = _conv(*_cd(h, kernels[i + 1], compute_dtype),
-                  1, (k - 1) // 2, 1, 1) + biases[i + 1]
+        h = _st(_conv(*_cd(h, kernels[i + 1], compute_dtype),
+                      1, (k - 1) // 2, 1, 1) + biases[i + 1], storage_dtype)
         x = x + h
         i += 2
     return x
@@ -81,19 +93,26 @@ def _plain_resblock1(x, kernels, biases, dilations, compute_dtype=None):
 def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                           rows_per_tile: int = 2048, interpret: bool | None = None,
                           compute_dtype=None, fuse_channels: tuple = (32,),
-                          fuse_max_batch: int = 1024) -> jnp.ndarray:
+                          fuse_max_batch: int = 64,
+                          storage_dtype=None,
+                          max_stages: int | None = None) -> jnp.ndarray:
     """mel/cond (B, frames, num_mels) → audio (B, frames·total_upsample).
 
     fuse_channels: stage widths eligible for pallas fusion. With the whole-tail
     kernel, (32,) alone measured best (adding 64 was slightly slower: the C=64
     MRF kernel's folded-dilation FLOP inflation roughly cancels its lane win).
-    fuse_max_batch: escape hatch to force the plain XLA path above a batch size.
-    With the whole-tail kernel the fused path won at every measured batch
-    (B=32 1.73x, B=64 1.26x, B=128 1.02x), so the default no longer gates.
+    fuse_max_batch: above this batch the plain XLA path runs instead — with bf16
+    storage the fused tail wins up to B=64 but loses at B=128 (see
+    HifiganConfig.fuse_max_batch for the measured table).
+    storage_dtype: bf16 keeps activations between convs bf16-resident — the
+    generator is HBM-bound, measured 1.35x e2e at B=128 (see `_st`).
     interpret=None: on TPU, compile the kernels; off-TPU fall back to the (exact)
     plain-XLA conv path — interpret-mode pallas is orders of magnitude slower at
     real sizes, so serving through the API on CPU must not silently use it
-    (tests opt back in with `force_pallas_interpret`)."""
+    (tests opt back in with `force_pallas_interpret`).
+    max_stages: profiling hook (scripts/profile_synthesis.py) — return the
+    intermediate activation after that many upsample stages (0 = after conv_pre)
+    instead of audio, so per-stage cost = time(prefix k) - time(prefix k-1)."""
     if interpret is None:
         on_tpu = jax.default_backend() == "tpu"
         interpret = _FORCE_INTERPRET and not on_tpu
@@ -101,8 +120,16 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
             fuse_channels = ()
     if mel.shape[0] > fuse_max_batch:
         fuse_channels = ()
+    if storage_dtype is not None and compute_dtype is None:
+        # bf16-resident activations meet the convs' same-dtype requirement by casting
+        # the kernels too (a no-op for the MXU, which runs fp32 convs at bf16 input
+        # precision anyway)
+        compute_dtype = storage_dtype
     pp = params["conv_pre"]
-    x = _conv(*_cd(mel, _wn(pp), compute_dtype), 1, 3, 1, 1) + pp["bias"]
+    x = _st(_conv(*_cd(mel, _wn(pp), compute_dtype), 1, 3, 1, 1) + pp["bias"],
+            storage_dtype)
+    if max_stages == 0:
+        return x
     ch = cfg.upsample_initial_channel
     n_stages = len(cfg.upsample_rates)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -123,7 +150,7 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                     biases.append(pj[f"WNConv1d_{m}"]["bias"])
             pp = params["conv_post"]
             x = fused_tail_stage(
-                x, _wn(up), up["bias"], kernels, biases,
+                x.astype(jnp.float32), _wn(up), up["bias"], kernels, biases,
                 kernel_sizes=tuple(cfg.resblock_kernel_sizes),
                 dilations=tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
                 fold=u, post_kernel=_wn(pp) if last else None,
@@ -132,11 +159,14 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                 compute_dtype=compute_dtype)
             if last:
                 return x[:, : mel.shape[1] * cfg.total_upsample]
+            x = _st(x, storage_dtype)
+            if max_stages == i + 1:
+                return x
             continue
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         up = params[f"up_{i}"]
-        x = _conv_transpose(*_cd(x, _wn(up), compute_dtype),
-                            u, (k - u) // 2) + up["bias"]
+        x = _st(_conv_transpose(*_cd(x, _wn(up), compute_dtype),
+                                u, (k - u) // 2) + up["bias"], storage_dtype)
         # Mid-stage MRF fusion: either folded narrow stages (C·fold == 128) or
         # full-lane stages (C % 128 == 0, fold=1 — dilation as strided tap slices,
         # zero FLOP inflation; the win is one HBM round trip per stage instead of
@@ -156,12 +186,13 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                 for m in range(2 * len(rd)):
                     kernels.append(_wn(pj[f"WNConv1d_{m}"]))
                     biases.append(pj[f"WNConv1d_{m}"]["bias"])
-            x = fused_mrf1(x, kernels, biases,
-                           kernel_sizes=tuple(cfg.resblock_kernel_sizes),
-                           dilations=tuple(tuple(d) for d in
-                                           cfg.resblock_dilation_sizes),
-                           fold=fold, rows_per_tile=rows_per_tile,
-                           interpret=interpret, compute_dtype=compute_dtype)
+            x = _st(fused_mrf1(x.astype(jnp.float32), kernels, biases,
+                               kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                               dilations=tuple(tuple(d) for d in
+                                               cfg.resblock_dilation_sizes),
+                               fold=fold, rows_per_tile=rows_per_tile,
+                               interpret=interpret, compute_dtype=compute_dtype),
+                    storage_dtype)
         else:
             acc = None
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
@@ -171,9 +202,12 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                 kernels = [_wn(pj[f"WNConv1d_{m}"]) for m in range(n)]
                 biases = [pj[f"WNConv1d_{m}"]["bias"] for m in range(n)]
                 acc_h = _plain_resblock1(x, kernels, biases, rd,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         storage_dtype=storage_dtype)
                 acc = acc_h if acc is None else acc + acc_h
             x = acc / len(cfg.resblock_kernel_sizes)
+        if max_stages == i + 1:
+            return x
     # final act/conv/tanh stay fp32, mirroring Generator (models/hifigan.py:148-150)
     x = jax.nn.leaky_relu(x.astype(jnp.float32), 0.01)
     pp = params["conv_post"]
