@@ -128,3 +128,26 @@ def test_chunked_generator_matches_full():
     out = generate_chunked(apply_fn, short, cfg.total_upsample, chunk=24, halo=16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(g.apply(params, short)),
                                atol=1e-6)
+
+
+def test_bf16_storage_serving_close_to_fp32():
+    """The serving default keeps inter-conv activations bf16-resident
+    (HifiganConfig.storage_dtype, api.py default). Guard the quality cost: vs the
+    fp32 flax Generator the bf16-storage output must stay within a small fraction
+    of the signal's RMS (SNR >= ~30 dB on a random-init model — rounding noise,
+    not a path divergence). Runs the plain-XLA fallback (fuse_channels=() off-TPU),
+    which is exactly what serving uses above fuse_max_batch."""
+    from ttscube_tpu.models.hifigan_fused import generator_apply_fused
+
+    cfg = HifiganConfig(upsample_initial_channel=64)
+    g = Generator(cfg)
+    cond = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (2, 40, 80))
+    params = g.init(jax.random.PRNGKey(1), cond)["params"]
+    ref = np.asarray(g.apply({"params": params}, cond)).astype(np.float64)
+    out = np.asarray(jax.jit(lambda c: generator_apply_fused(
+        params, c, cfg, storage_dtype=jnp.bfloat16))(cond)).astype(np.float64)
+    assert out.shape == ref.shape
+    err = np.sqrt(np.mean((out - ref) ** 2))
+    rms = np.sqrt(np.mean(ref ** 2))
+    snr_db = 20 * np.log10(rms / max(err, 1e-12))
+    assert snr_db >= 30.0, f"bf16-storage SNR {snr_db:.1f} dB < 30 dB"

@@ -49,9 +49,14 @@ class TTSCube:
         hifi_kwargs = {k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
                            if isinstance(v, list) else v)
                        for k, v in (conf.get("hifigan") or {}).items()}
-        # serving default: fused pallas tail resblocks (1.40x generator speedup on
-        # v5e, exact vs the flax path); a checkpoint yaml can opt out explicitly
+        # serving defaults (a checkpoint yaml can opt out of either explicitly):
+        # fused pallas tail resblocks (1.73x e2e at B=32, exact vs the flax path;
+        # above fuse_max_batch the plain-XLA path runs) + bf16-resident activations
+        # between generator convs (the generator is HBM-bound: 1.44x generator-only
+        # at B=128, no extra matmul rounding — the MXU reads fp32 inputs at bf16
+        # precision anyway; see HifiganConfig.storage_dtype)
         hifi_kwargs.setdefault("fused_tail", True)
+        hifi_kwargs.setdefault("storage_dtype", "bfloat16")
         lm = None
         lm_config = None
         if cond_type == "hf":

@@ -135,6 +135,7 @@ class Cubegan:
             gen = lambda c: generator_apply_fused(
                 params["gen"], c, self.config.hifigan,
                 compute_dtype=self.config.hifigan.jnp_compute_dtype,
+                storage_dtype=self.config.hifigan.jnp_storage_dtype,
                 fuse_channels=self.config.hifigan.fuse_channels)
         else:
             gen = lambda c: self.generator.apply({"params": params["gen"]}, c)

@@ -40,6 +40,13 @@ class HifiganConfig:
     # "bfloat16" runs the conv stack on the MXU at bf16 with fp32 accumulation
     # (~4x on v5e); the final conv_post + tanh stay fp32.
     compute_dtype: str = "float32"
+    # "bfloat16" keeps INFERENCE activations bf16-resident *between* convs. The MXU
+    # already reads fp32 conv inputs at bf16 precision (DEFAULT precision), so this
+    # costs no extra rounding at the matmuls — what it buys is halving the HBM traffic
+    # of the inter-conv activations, and the generator is HBM-bound at every measured
+    # batch: generator-only at B=128/F=512 on v5e is 214.5 -> 149.1 ms. Serving sets
+    # this to bfloat16 (api.py); training paths ignore it (grads stay fp32).
+    storage_dtype: str = "float32"
     # fold time into channels for the narrow (C<=32) d=1 tail convs (exact transform,
     # ops/conv.fold_conv_kernel). Wins 4.7x on isolated convs but LOSES ~1.7x composed
     # into the full generator (XLA fusion/layout interactions) — keep off by default.
@@ -68,6 +75,11 @@ class HifiganConfig:
     def jnp_compute_dtype(self):
         import jax.numpy as _jnp
         return {"float32": None, "bfloat16": _jnp.bfloat16}[self.compute_dtype]
+
+    @property
+    def jnp_storage_dtype(self):
+        import jax.numpy as _jnp
+        return {"float32": None, "bfloat16": _jnp.bfloat16}[self.storage_dtype]
 
     @property
     def total_upsample(self) -> int:
