@@ -102,8 +102,17 @@ def _train(args):
         cfg = _dc_replace(cfg, hifigan=HifiganConfig(fused_tail_train=True))
     model = Cubegan(cfg, lm=lm)
     from ttscube_tpu.utils.wordvec import make_word_embedder
+    # HF conditioning adds two more varying batch axes (tokens, words); at exact
+    # widths every new (chars, mel, tokens, words) combo retraces + recompiles the
+    # full GAN step (minutes each on the TPU relay — measured ~7 s/step amortized
+    # over a 6-speaker corpus vs ~0.2 s/step steady). Pin the token axis to the
+    # reference's fixed 512-token window (io_cubegan.py:246-277) and bucket the
+    # word axis so the executable count stays O(mel buckets).
+    hf_cond = cond_type == "hf"
     collate = CubeganCollate(encodings, word_embedder=make_word_embedder(args.lm),
-                             hop=args.hop_size, hf_conditioning=cond_type == "hf")
+                             hop=args.hop_size, hf_conditioning=hf_cond,
+                             bucket_tokens=512 if hf_cond else 64,
+                             bucket_words=8 if hf_cond else 1)
 
     example = collate([trainset[0]])
     import jax.numpy as jnp
