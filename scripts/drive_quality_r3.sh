@@ -1,0 +1,110 @@
+#!/bin/bash
+# Round-3 quality drive (VERDICT r2 item 4): multi-speaker demo corpus -> aligned
+# phonemizer -> main Cubegan run (fused-tail training) -> HF-conditioned Cubegan run
+# (local demo LM, no hub) -> export -> volume reassembly -> TTSCube synthesis ->
+# artifacts/quality_drive_r3. Mirrors the reference TRAINING.md step 1-3 workflow.
+#
+# Usage: bash scripts/drive_quality_r3.sh [ROOT=/tmp/drive_r3]
+set -euo pipefail
+ROOT=${1:-/tmp/drive_r3}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+cd "$REPO"
+export PYTHONPATH="$REPO:${PYTHONPATH:-}"
+
+SPEAKERS=${SPEAKERS:-3}
+SENTENCES=${SENTENCES:-220}
+MAIN_STEPS=${MAIN_STEPS:-5000}
+HF_STEPS=${HF_STEPS:-1000}
+PHON_STEPS=${PHON_STEPS:-1500}
+
+rm -rf "$ROOT" generated_files/free
+mkdir -p "$ROOT"/{models,export,assembled}
+stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
+
+stamp "1/8 corpus: $SPEAKERS speakers x $SENTENCES sentences"
+python -u scripts/make_demo_corpus.py --output "$ROOT/corpus" \
+    --sentences "$SENTENCES" --speakers "$SPEAKERS"
+
+stamp "2/8 local demo LM (HF-format BERT + WordPiece tokenizer)"
+python -u scripts/make_demo_lm.py --output "$ROOT/demo_lm"
+
+stamp "3/8 import (per-speaker align files)"
+for k in $(seq 0 $((SPEAKERS - 1))); do
+    python -u scripts/import_blizzard_2023.py \
+        --input-file "$ROOT/corpus/align_spk$k.txt" \
+        --speaker "spk$k" --prefix "SPK$k" \
+        --train-output "$ROOT/processed/train" --dev-output "$ROOT/processed/dev"
+done
+cat "$ROOT"/corpus/align_spk*.txt > "$ROOT/corpus/align_all.txt"
+python -u scripts/import_phonemizer_blizzard.py \
+    --input-file "$ROOT/corpus/align_all.txt" --output-base "$ROOT/phonemizer-data"
+
+stamp "4/8 phonemizer (aligned, $PHON_STEPS steps)"
+python -u scripts/train_phonemizer.py --model-type aligned \
+    --train-file "$ROOT/phonemizer-data.train" --dev-file "$ROOT/phonemizer-data.dev" \
+    --output-base "$ROOT/models/phonemizer" --max-steps "$PHON_STEPS" \
+    > "$ROOT/phonemizer.log" 2>&1
+grep -E "epoch" "$ROOT/phonemizer.log" | tail -3
+
+stamp "5/8 main Cubegan run ($MAIN_STEPS steps, fused-tail training)"
+python -u scripts/train_cubegan.py \
+    --output-base "$ROOT/models/cubegan" \
+    --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
+    --max-steps "$MAIN_STEPS" --fused-tail-train \
+    --epoch-generation 40 --generation-limit 3 --opt-save-every 50 \
+    > "$ROOT/train_main.log" 2>&1
+tail -3 "$ROOT/train_main.log"
+
+stamp "6/8 HF-conditioned Cubegan run ($HF_STEPS steps, lm=hf:$ROOT/demo_lm)"
+python -u scripts/train_cubegan.py \
+    --output-base "$ROOT/models/cubegan_hf" \
+    --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
+    --max-steps "$HF_STEPS" --lm "hf:$ROOT/demo_lm" --fused-tail-train \
+    --epoch-generation 0 --opt-save-every 50 \
+    > "$ROOT/train_hf.log" 2>&1
+tail -3 "$ROOT/train_hf.log"
+
+stamp "7/8 export + volume reassembly + TTSCube synthesis"
+for variant in cubegan cubegan_hf; do
+    python -u scripts/export_model.py \
+        --input-model "$ROOT/models/$variant" \
+        --input-phonemizer "$ROOT/models/phonemizer" \
+        --output-model "$ROOT/export/$variant" \
+        --version 1.0 --language en-demo --description "r3 quality drive ($variant)"
+    # reassemble the split volumes exactly like utils/repository.download_model
+    mkdir -p "$ROOT/assembled/$variant"
+    cat "$ROOT/export/$variant"-?? > "$ROOT/assembled/$variant/model.tar.gz"
+    tar -xzf "$ROOT/assembled/$variant/model.tar.gz" -C "$ROOT/assembled/$variant"
+done
+python -u - "$ROOT" <<'EOF'
+import sys, os
+root = sys.argv[1]
+from ttscube_tpu.api import TTSCube
+from ttscube_tpu.utils.wavio import write_wav
+texts = ["ama sano tivo muna lori .", "selami tokun mirade fulosa ."]
+for variant in ("cubegan", "cubegan_hf"):
+    base = os.path.join(root, "assembled", variant)
+    cube = TTSCube(os.path.join(base, "cubegan"), os.path.join(base, "phonemizer"))
+    for i, t in enumerate(texts):
+        wav = cube(t, speaker="spk0")
+        out = os.path.join(root, f"api_{variant}_{i}.wav")
+        write_wav(out, wav, 24000)
+        print(f"{variant}[{i}] '{t}' -> {out} ({wav.shape[0]/24000:.2f}s)")
+EOF
+
+stamp "8/8 collect artifacts"
+python -u scripts/collect_drive_artifacts.py --log "$ROOT/train_main.log" \
+    --out artifacts/quality_drive_r3 --prefix main_
+python -u scripts/collect_drive_artifacts.py --log "$ROOT/train_hf.log" \
+    --out artifacts/quality_drive_r3 --prefix hf_
+cp "$ROOT"/api_*.wav artifacts/quality_drive_r3/ 2>/dev/null || true
+# devset free-synthesis outputs (trainer writes cwd-relative) + matching originals
+for f in generated_files/free/*.wav generated_files/free/*.png; do
+    [ -e "$f" ] && cp "$f" "artifacts/quality_drive_r3/synth_$(basename "$f")"
+done
+for f in artifacts/quality_drive_r3/synth_*.wav; do
+    id=$(basename "$f" .wav); id=${id#synth_}
+    [ -e "$ROOT/processed/dev/$id.wav" ] && \
+        cp "$ROOT/processed/dev/$id.wav" "artifacts/quality_drive_r3/orig_$id.wav"
+done
+stamp "DONE"
