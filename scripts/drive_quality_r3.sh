@@ -32,7 +32,7 @@ stamp "3/8 import (per-speaker align files)"
 for k in $(seq 0 $((SPEAKERS - 1))); do
     python -u scripts/import_blizzard_2023.py \
         --input-file "$ROOT/corpus/align_spk$k.txt" \
-        --speaker "spk$k" --prefix "SPK$k" \
+        --speaker "spk$k" --prefix "SPK$k" --dev-ratio 0.02 \
         --train-output "$ROOT/processed/train" --dev-output "$ROOT/processed/dev"
 done
 cat "$ROOT"/corpus/align_spk*.txt > "$ROOT/corpus/align_all.txt"
