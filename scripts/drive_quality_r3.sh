@@ -17,27 +17,39 @@ MAIN_STEPS=${MAIN_STEPS:-5000}
 HF_STEPS=${HF_STEPS:-1000}
 PHON_STEPS=${PHON_STEPS:-1500}
 
-rm -rf "$ROOT" generated_files/free
-mkdir -p "$ROOT"/{models,export,assembled}
 stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
-stamp "1/8 corpus: $SPEAKERS speakers x $SENTENCES sentences"
-python -u scripts/make_demo_corpus.py --output "$ROOT/corpus" \
-    --sentences "$SENTENCES" --speakers "$SPEAKERS"
+# SKIP_PREP=1 reuses an existing $ROOT/processed (corpus gen + feature import are the
+# slow CPU stages; the trainers re-read everything from disk)
+if [ -z "${SKIP_PREP:-}" ]; then
+    rm -rf "$ROOT" generated_files/free
+    mkdir -p "$ROOT"/{models,export,assembled}
 
-stamp "2/8 local demo LM (HF-format BERT + WordPiece tokenizer)"
-python -u scripts/make_demo_lm.py --output "$ROOT/demo_lm"
+    stamp "1/8 corpus: $SPEAKERS speakers x $SENTENCES sentences"
+    python -u scripts/make_demo_corpus.py --output "$ROOT/corpus" \
+        --sentences "$SENTENCES" --speakers "$SPEAKERS"
 
-stamp "3/8 import (per-speaker align files)"
-for k in $(seq 0 $((SPEAKERS - 1))); do
-    python -u scripts/import_blizzard_2023.py \
-        --input-file "$ROOT/corpus/align_spk$k.txt" \
-        --speaker "spk$k" --prefix "SPK$k" --dev-ratio 0.02 \
-        --train-output "$ROOT/processed/train" --dev-output "$ROOT/processed/dev"
-done
+    stamp "2/8 local demo LM (HF-format BERT + WordPiece tokenizer)"
+    python -u scripts/make_demo_lm.py --output "$ROOT/demo_lm"
+
+    stamp "3/8 import (per-speaker align files)"
+    for k in $(seq 0 $((SPEAKERS - 1))); do
+        python -u scripts/import_blizzard_2023.py \
+            --input-file "$ROOT/corpus/align_spk$k.txt" \
+            --speaker "spk$k" --prefix "SPK$k" --dev-ratio 0.02 \
+            --train-output "$ROOT/processed/train" --dev-output "$ROOT/processed/dev"
+    done
+else
+    stamp "1-3/8 skipped (SKIP_PREP=1, reusing $ROOT/processed)"
+    mkdir -p "$ROOT"/{models,export,assembled}
+    rm -rf generated_files/free
+fi
 cat "$ROOT"/corpus/align_spk*.txt > "$ROOT/corpus/align_all.txt"
+# dev-ratio matters: the trainer's PACC/SACC model selection (and export's
+# .sacc.best default) need a non-empty devset
 python -u scripts/import_phonemizer_blizzard.py \
-    --input-file "$ROOT/corpus/align_all.txt" --output-base "$ROOT/phonemizer-data"
+    --input-file "$ROOT/corpus/align_all.txt" --dev-ratio 0.02 \
+    --output-base "$ROOT/phonemizer-data"
 
 stamp "4/8 phonemizer (aligned, $PHON_STEPS steps)"
 python -u scripts/train_phonemizer.py --model-type aligned \
