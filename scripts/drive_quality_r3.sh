@@ -16,6 +16,10 @@ SENTENCES=${SENTENCES:-220}
 MAIN_STEPS=${MAIN_STEPS:-5000}
 HF_STEPS=${HF_STEPS:-1000}
 PHON_STEPS=${PHON_STEPS:-1500}
+# FUSED_FLAG="" trains on the plain flax generator path. Measured on the axon relay:
+# the fused-tail custom-VJP program at the trainer's B=16 takes >30 min to compile
+# remotely (bench.py's B=4 compiles fine) — quality drives don't need the kernel.
+FUSED_FLAG=${FUSED_FLAG---fused-tail-train}
 
 stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
@@ -44,25 +48,30 @@ else
     mkdir -p "$ROOT"/{models,export,assembled}
     rm -rf generated_files/free
 fi
-cat "$ROOT"/corpus/align_spk*.txt > "$ROOT/corpus/align_all.txt"
-# dev-ratio matters: the trainer's PACC/SACC model selection (and export's
-# .sacc.best default) need a non-empty devset
-python -u scripts/import_phonemizer_blizzard.py \
-    --input-file "$ROOT/corpus/align_all.txt" --dev-ratio 0.02 \
-    --output-base "$ROOT/phonemizer-data"
+# SKIP_PHON=1 reuses $ROOT/models/phonemizer.* from a previous (partial) run
+if [ -z "${SKIP_PHON:-}" ]; then
+    cat "$ROOT"/corpus/align_spk*.txt > "$ROOT/corpus/align_all.txt"
+    # dev-ratio matters: the trainer's PACC/SACC model selection (and export's
+    # .sacc.best default) need a non-empty devset
+    python -u scripts/import_phonemizer_blizzard.py \
+        --input-file "$ROOT/corpus/align_all.txt" --dev-ratio 0.02 \
+        --output-base "$ROOT/phonemizer-data"
 
-stamp "4/8 phonemizer (aligned, $PHON_STEPS steps)"
-python -u scripts/train_phonemizer.py --model-type aligned \
-    --train-file "$ROOT/phonemizer-data.train" --dev-file "$ROOT/phonemizer-data.dev" \
-    --output-base "$ROOT/models/phonemizer" --max-steps "$PHON_STEPS" \
-    > "$ROOT/phonemizer.log" 2>&1
-grep -E "epoch" "$ROOT/phonemizer.log" | tail -3
+    stamp "4/8 phonemizer (aligned, $PHON_STEPS steps)"
+    python -u scripts/train_phonemizer.py --model-type aligned \
+        --train-file "$ROOT/phonemizer-data.train" --dev-file "$ROOT/phonemizer-data.dev" \
+        --output-base "$ROOT/models/phonemizer" --max-steps "$PHON_STEPS" \
+        > "$ROOT/phonemizer.log" 2>&1
+    grep -E "epoch" "$ROOT/phonemizer.log" | tail -3
+else
+    stamp "4/8 skipped (SKIP_PHON=1, reusing $ROOT/models/phonemizer.*)"
+fi
 
-stamp "5/8 main Cubegan run ($MAIN_STEPS steps, fused-tail training)"
+stamp "5/8 main Cubegan run ($MAIN_STEPS steps${FUSED_FLAG:+, fused-tail training})"
 python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan" \
     --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
-    --max-steps "$MAIN_STEPS" --fused-tail-train \
+    --max-steps "$MAIN_STEPS" $FUSED_FLAG \
     --epoch-generation 40 --generation-limit 3 --opt-save-every 50 \
     > "$ROOT/train_main.log" 2>&1
 tail -3 "$ROOT/train_main.log"
@@ -71,7 +80,7 @@ stamp "6/8 HF-conditioned Cubegan run ($HF_STEPS steps, lm=hf:$ROOT/demo_lm)"
 python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan_hf" \
     --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
-    --max-steps "$HF_STEPS" --lm "hf:$ROOT/demo_lm" --fused-tail-train \
+    --max-steps "$HF_STEPS" --lm "hf:$ROOT/demo_lm" $FUSED_FLAG \
     --epoch-generation 0 --opt-save-every 50 \
     > "$ROOT/train_hf.log" 2>&1
 tail -3 "$ROOT/train_hf.log"
@@ -119,4 +128,8 @@ for f in artifacts/quality_drive_r3/synth_*.wav; do
     [ -e "$ROOT/processed/dev/$id.wav" ] && \
         cp "$ROOT/processed/dev/$id.wav" "artifacts/quality_drive_r3/orig_$id.wav"
 done
+# quantitative quality: MCD-DTW over the orig/synth devset pairs (CPU jax — don't
+# occupy the TPU for an offline metric)
+JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
+    --dir artifacts/quality_drive_r3 || true
 stamp "DONE"
