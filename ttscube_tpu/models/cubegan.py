@@ -52,6 +52,7 @@ from ttscube_tpu.models.hifigan import (
     generator_loss,
 )
 from ttscube_tpu.models.languasito import Languasito2, LanguasitoConfig, languasito_losses
+from ttscube_tpu.ops.rnn import unroll_override
 
 TRAIN_FRAMES = 50   # 12000-sample GAN window  (reference cubegan.py:116-128)
 VAL_FRAMES = 200    # 48000-sample val window  (reference cubegan.py:218-230)
@@ -338,7 +339,16 @@ def train_step(model: Cubegan, state: TrainState, batch, rng):
     Still one forward + one backward through the conditioning net and generator, and
     zero host syncs. `rng` may be a fixed base key: it is folded with the step counter
     *inside* the jitted step, so callers don't need a per-step host-side split (an
-    eager `jax.random.split` costs ~1 s per call through the TPU relay)."""
+    eager `jax.random.split` costs ~1 s per call through the TPU relay).
+
+    Traced under ``unroll_override(1)``: autodiff transposes every scan, and the
+    inference-tuned 8x unroll (ops/rnn.py SCAN_UNROLL) blows the trainer's remote
+    compile past 25 min for <1% of step FLOPs — training keeps unroll=1."""
+    with unroll_override(1):
+        return _train_step_body(model, state, batch, rng)
+
+
+def _train_step_body(model: Cubegan, state: TrainState, batch, rng):
     txs = make_optimizer(model.config)
     rng = jax.random.fold_in(rng, state.step)
     params = state.params
@@ -381,7 +391,10 @@ def train_step(model: Cubegan, state: TrainState, batch, rng):
 
 def val_step(model: Cubegan, state: TrainState, batch, rng):
     """Validation losses on a 200-frame window (reference cubegan.py:191-269).
-    `loss_mel` (unweighted L1) is the model-selection metric (cubegan.py:271-273)."""
-    _, (metrics, _) = model.losses(state.params, state.spectral, batch, rng,
-                                   window=VAL_FRAMES, update_spectral=False)
+    `loss_mel` (unweighted L1) is the model-selection metric (cubegan.py:271-273).
+    unroll_override(1): keep the val executable's compile small too (no autodiff
+    here, but the epoch-end val trace otherwise duplicates every scan body 8x)."""
+    with unroll_override(1):
+        _, (metrics, _) = model.losses(state.params, state.spectral, batch, rng,
+                                       window=VAL_FRAMES, update_spectral=False)
     return metrics

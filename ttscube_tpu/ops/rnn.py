@@ -14,6 +14,7 @@ Like the reference, full-sequence layers run over the *padded* batch without mas
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any
 
 import flax.linen as nn
@@ -35,6 +36,31 @@ def _uniform_init(scale: float):
 # 16's compile-size cost. Exact: unrolling duplicates the step body, no math change.
 SCAN_UNROLL = 8
 
+# Training traces override to 1: autodiff transposes every scan, so an 8x-unrolled
+# body through the GAN step's ~20 recurrences blows the remote compile up from
+# minutes to >25 min (observed on the axon relay, round-3 quality drive) for a
+# recurrence that is <1% of the step's FLOPs. The override is read at TRACE time —
+# setting it inside a jitted function body (train_step does this) bakes unroll=1
+# into that executable only; inference traces keep SCAN_UNROLL.
+_UNROLL_OVERRIDE: int | None = None
+
+
+@contextlib.contextmanager
+def unroll_override(n: int | None):
+    """Trace-time scan-unroll override (use `with unroll_override(1):` around the
+    body of a training step to keep its compile small)."""
+    global _UNROLL_OVERRIDE
+    prev = _UNROLL_OVERRIDE
+    _UNROLL_OVERRIDE = n
+    try:
+        yield
+    finally:
+        _UNROLL_OVERRIDE = prev
+
+
+def _unroll() -> int:
+    return SCAN_UNROLL if _UNROLL_OVERRIDE is None else _UNROLL_OVERRIDE
+
 
 def _lstm_scan(xw: jnp.ndarray, wh: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
                reverse: bool = False):
@@ -54,7 +80,7 @@ def _lstm_scan(xw: jnp.ndarray, wh: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarra
 
     xs = jnp.swapaxes(xw, 0, 1)  # (T,B,4H)
     (h, c), ys = jax.lax.scan(step, (h0, c0), xs, reverse=reverse,
-                              unroll=SCAN_UNROLL)
+                              unroll=_unroll())
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
 
@@ -72,7 +98,7 @@ def _gru_scan(xw: jnp.ndarray, wh: jnp.ndarray, bh: jnp.ndarray, h0: jnp.ndarray
         return h, h
 
     xs = jnp.swapaxes(xw, 0, 1)
-    h, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=SCAN_UNROLL)
+    h, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=_unroll())
     return jnp.swapaxes(ys, 0, 1), h
 
 
