@@ -73,6 +73,7 @@ def train_bench(fused: bool = True, B: int = 4, F: int = 500):
     step_ms = sec * 1e3
 
     mfu = None
+    mfu_err = None
     try:
         cost = (jax.jit(step_fn).lower(state, batch, key).compile()
                 .cost_analysis())
@@ -81,9 +82,12 @@ def train_bench(fused: bool = True, B: int = 4, F: int = 500):
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             mfu = 100.0 * flops / (sec * V5E_PEAK_FLOPS)
-    except Exception:
-        pass
-    return step_ms, mfu
+        else:
+            mfu_err = "cost_analysis returned no flops"
+    except Exception as e:  # surfaced as train_mfu_error in the JSON line — a silent
+        # pass here would make a cost_analysis() regression look like a removed field
+        mfu_err = f"{type(e).__name__}: {e}"[:200]
+    return step_ms, mfu, mfu_err
 
 
 def main(batch: int = 128, chunk: int = 0, fused: bool = True):
@@ -158,10 +162,12 @@ def main(batch: int = 128, chunk: int = 0, fused: bool = True):
         "vs_baseline": round(xrt / 200.0, 2),
     }
     try:
-        step_ms, mfu = train_bench(fused=fused)
+        step_ms, mfu, mfu_err = train_bench(fused=fused)
         record["train_step_ms"] = round(step_ms, 2)
         if mfu is not None:
             record["train_mfu_pct"] = round(mfu, 2)
+        if mfu_err is not None:
+            record["train_mfu_error"] = mfu_err
     except Exception as e:  # train metrics are best-effort; never break the contract
         record["train_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(record))

@@ -1,25 +1,29 @@
 #!/bin/bash
-# Round-3 quality drive (VERDICT r2 item 4): multi-speaker demo corpus -> aligned
-# phonemizer -> main Cubegan run (fused-tail training) -> HF-conditioned Cubegan run
-# (local demo LM, no hub) -> export -> volume reassembly -> TTSCube synthesis ->
-# artifacts/quality_drive_r3. Mirrors the reference TRAINING.md step 1-3 workflow.
+# Round-4 quality drive (VERDICT r3 item 1): multi-speaker demo corpus -> aligned
+# phonemizer -> main Cubegan run -> HF-conditioned Cubegan run (local demo LM, no
+# hub) -> export -> volume reassembly -> TTSCube synthesis -> MCD-DTW/F0/VUV/duration
+# metrics -> artifacts/quality_drive_r4. Mirrors the reference TRAINING.md step 1-3
+# workflow (/root/reference/TRAINING.md; cube/io_utils/runtime.py:83-109).
 #
-# Usage: bash scripts/drive_quality_r3.sh [ROOT=/tmp/drive_r3]
+# Usage: bash scripts/drive_quality_r4.sh [ROOT=/tmp/drive_r4]
+# Env: SKIP_PREP=1 reuses $ROOT/processed, SKIP_PHON=1 reuses $ROOT/models/phonemizer.*
 set -euo pipefail
-ROOT=${1:-/tmp/drive_r3}
+ROOT=${1:-/tmp/drive_r4}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
+OUT=${OUT:-artifacts/quality_drive_r4}
 
 SPEAKERS=${SPEAKERS:-3}
 SENTENCES=${SENTENCES:-220}
 MAIN_STEPS=${MAIN_STEPS:-5000}
 HF_STEPS=${HF_STEPS:-1000}
 PHON_STEPS=${PHON_STEPS:-1500}
-# FUSED_FLAG="" trains on the plain flax generator path. Measured on the axon relay:
-# the fused-tail custom-VJP program at the trainer's B=16 takes >30 min to compile
-# remotely (bench.py's B=4 compiles fine) — quality drives don't need the kernel.
-FUSED_FLAG=${FUSED_FLAG---fused-tail-train}
+# Fused-tail training defaults OFF for drives: the custom-VJP program at the
+# trainer's B=16 needs a long remote compile (r3 measured >30 min before the
+# compile-cost fix; quality drives don't need the kernel). Opt in with
+# FUSED_FLAG=--fused-tail-train.
+FUSED_FLAG=${FUSED_FLAG-}
 
 stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
@@ -72,16 +76,31 @@ python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan" \
     --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
     --max-steps "$MAIN_STEPS" $FUSED_FLAG \
-    --epoch-generation 40 --generation-limit 3 --opt-save-every 50 \
+    --epoch-generation 40 --generation-limit -1 --opt-save-every 25 \
     > "$ROOT/train_main.log" 2>&1
 tail -3 "$ROOT/train_main.log"
+
+# final devset synthesis from the finished weights (epoch-generation cadence may not
+# land on the terminal epoch; the metrics below must measure the trained model)
+stamp "5b/8 final devset synthesis (all dev utterances)"
+rm -rf generated_files/free
+python -u - "$ROOT" <<'EOF'
+import sys, os
+root = sys.argv[1]
+sys.path.insert(0, ".")
+from ttscube_tpu.train.runtime import synthesize_from_checkpoint
+synthesize_from_checkpoint(
+    os.path.join(root, "models/cubegan"),
+    dev_folder=os.path.join(root, "processed/dev"),
+    out_folder="generated_files/free/", limit=-1)
+EOF
 
 stamp "6/8 HF-conditioned Cubegan run ($HF_STEPS steps, lm=hf:$ROOT/demo_lm)"
 python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan_hf" \
     --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
     --max-steps "$HF_STEPS" --lm "hf:$ROOT/demo_lm" $FUSED_FLAG \
-    --epoch-generation 0 --opt-save-every 50 \
+    --epoch-generation 0 --opt-save-every 25 \
     > "$ROOT/train_hf.log" 2>&1
 tail -3 "$ROOT/train_hf.log"
 
@@ -91,7 +110,7 @@ for variant in cubegan cubegan_hf; do
         --input-model "$ROOT/models/$variant" \
         --input-phonemizer "$ROOT/models/phonemizer" \
         --output-model "$ROOT/export/$variant" \
-        --version 1.0 --language en-demo --description "r3 quality drive ($variant)"
+        --version 1.0 --language en-demo --description "r4 quality drive ($variant)"
     # reassemble the split volumes exactly like utils/repository.download_model
     mkdir -p "$ROOT/assembled/$variant"
     cat "$ROOT/export/$variant"-?? > "$ROOT/assembled/$variant/model.tar.gz"
@@ -115,21 +134,24 @@ EOF
 
 stamp "8/8 collect artifacts"
 python -u scripts/collect_drive_artifacts.py --log "$ROOT/train_main.log" \
-    --out artifacts/quality_drive_r3 --prefix main_
+    --out "$OUT" --prefix main_
 python -u scripts/collect_drive_artifacts.py --log "$ROOT/train_hf.log" \
-    --out artifacts/quality_drive_r3 --prefix hf_
-cp "$ROOT"/api_*.wav artifacts/quality_drive_r3/ 2>/dev/null || true
+    --out "$OUT" --prefix hf_
+grep -aE "PACC|SACC" "$ROOT/phonemizer.log" | tail -2 > "$OUT/phonemizer_final.txt" || true
+cp "$ROOT"/api_*.wav "$OUT"/ 2>/dev/null || true
 # devset free-synthesis outputs (trainer writes cwd-relative) + matching originals
 for f in generated_files/free/*.wav generated_files/free/*.png; do
-    [ -e "$f" ] && cp "$f" "artifacts/quality_drive_r3/synth_$(basename "$f")"
+    [ -e "$f" ] && cp "$f" "$OUT/synth_$(basename "$f")"
 done
-for f in artifacts/quality_drive_r3/synth_*.wav; do
+for f in "$OUT"/synth_*.wav; do
     id=$(basename "$f" .wav); id=${id#synth_}
     [ -e "$ROOT/processed/dev/$id.wav" ] && \
-        cp "$ROOT/processed/dev/$id.wav" "artifacts/quality_drive_r3/orig_$id.wav"
+        cp "$ROOT/processed/dev/$id.wav" "$OUT/orig_$id.wav"
 done
-# quantitative quality: MCD-DTW over the orig/synth devset pairs (CPU jax — don't
-# occupy the TPU for an offline metric)
+# quantitative quality: MCD-DTW + F0-RMSE + VUV + duration error over ALL devset
+# pairs, with a trend table vs the previous drive (CPU jax — don't occupy the TPU
+# for an offline metric)
 JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
-    --dir artifacts/quality_drive_r3 || true
+    --dir "$OUT" \
+    --baseline artifacts/quality_drive_r2/quality_metrics.json || true
 stamp "DONE"

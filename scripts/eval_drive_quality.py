@@ -1,22 +1,31 @@
 """Quantitative quality metrics for a quality-drive run.
 
 For each devset pair ``orig_<id>.wav`` / ``synth_<id>.wav`` in an artifacts folder
-(written by collect_drive_artifacts.py + drive_quality_r3.sh), computes:
+(written by collect_drive_artifacts.py + drive_quality_r4.sh), computes:
 
 - **MCD-DTW** (dB): mel-cepstral distortion over a DTW alignment of the two log-mel
   sequences. Free synthesis uses *predicted* durations, so the sequences differ in
   length; DTW is the standard alignment for this (same metric family the TTS
   literature reports; the reference never computed one — it relied on listening,
   /root/reference/TRAINING.md "Suggestion" paragraph).
+- **F0-RMSE** (Hz) over DTW-aligned frames voiced in BOTH signals (RAPT pitch,
+  dsp/pitch.py — the same extractor the importers use, reference
+  import_blizzard_2023.py:110-111).
+- **VUV error** (%): fraction of DTW-aligned frames whose voicing decisions disagree.
+- **duration error** (%): |len(synth) − len(orig)| / len(orig) — free synthesis uses
+  predicted durations, so this scores the duration model end-to-end (reference duration
+  head: modules.py:941-953).
 - **voiced ratio** of the synthesized audio (frames with energy above the floor) as
   a degenerate-output guard (all-silence synthesis scores deceptively well on
   distance metrics).
 
-Writes ``<out>/quality_metrics.json`` and prints a per-pair table.
+Writes ``<out>/quality_metrics.json`` and prints a per-pair table; ``--baseline`` adds
+a trend row against a previous drive's json (VERDICT r3 item 6).
 
 Usage:
     JAX_PLATFORMS=cpu python scripts/eval_drive_quality.py \
-        --dir artifacts/quality_drive_r3
+        --dir artifacts/quality_drive_r4 \
+        [--baseline artifacts/quality_drive_r2/quality_metrics.json]
 """
 
 import argparse
@@ -28,6 +37,17 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _force_cpu_jax():
+    """Offline metric — never occupy the TPU. The JAX_PLATFORMS env var alone loses
+    to the axon plugin (see .claude/skills/verify/SKILL.md), so set the config too."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def log_mel(wav: np.ndarray, sr: int) -> np.ndarray:
@@ -51,13 +71,13 @@ def mel_to_cepstra(logmel10: np.ndarray, n_coef: int = 13) -> np.ndarray:
     return (logmel10 * np.log(10.0)) @ basis.T  # (T, n_coef)
 
 
-def dtw_path_cost(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
+def dtw_path(a: np.ndarray, b: np.ndarray):
     """Classic O(T1*T2) DTW over euclidean frame distances; returns (total cost,
-    path length) so the caller can take a per-frame mean."""
+    path) where path is a list of (i, j) frame index pairs along the alignment."""
     d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))  # (T1, T2)
     T1, T2 = d.shape
     acc = np.full((T1 + 1, T2 + 1), np.inf)
-    steps = np.zeros((T1 + 1, T2 + 1), np.int32)
+    move = np.zeros((T1 + 1, T2 + 1), np.int8)  # 0=diag 1=up(i-1) 2=left(j-1)
     acc[0, 0] = 0.0
     # the (i, j-1) dependency forbids vectorizing over j; T1*T2 is ~500x500 here
     for i in range(1, T1 + 1):
@@ -65,16 +85,43 @@ def dtw_path_cost(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
             cands = (acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1])
             k = int(np.argmin(cands))
             acc[i, j] = d[i - 1, j - 1] + cands[k]
-            steps[i, j] = (steps[i - 1, j - 1], steps[i - 1, j], steps[i, j - 1])[k] + 1
-    return float(acc[T1, T2]), int(steps[T1, T2])
+            move[i, j] = k
+    path = []
+    i, j = T1, T2
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        k = move[i, j]
+        if k == 0:
+            i, j = i - 1, j - 1
+        elif k == 1:
+            i -= 1
+        else:
+            j -= 1
+    path.reverse()
+    return float(acc[T1, T2]), path
 
 
-def mcd_dtw(logmel_a: np.ndarray, logmel_b: np.ndarray) -> float:
-    """MCD in dB: (10/ln10)*sqrt(2) * mean path distance over cepstra c1..c12."""
+def mcd_dtw(logmel_a: np.ndarray, logmel_b: np.ndarray):
+    """MCD in dB: (10/ln10)*sqrt(2) * mean path distance over cepstra c1..c12.
+    Returns (mcd_db, path) so pitch metrics reuse the same alignment."""
     ca = mel_to_cepstra(logmel_a)[:, 1:]
     cb = mel_to_cepstra(logmel_b)[:, 1:]
-    cost, length = dtw_path_cost(ca, cb)
-    return (10.0 / np.log(10.0)) * np.sqrt(2.0) * cost / max(length, 1)
+    cost, path = dtw_path(ca, cb)
+    return (10.0 / np.log(10.0)) * np.sqrt(2.0) * cost / max(len(path), 1), path
+
+
+def f0_metrics(f0_a: np.ndarray, f0_b: np.ndarray, path) -> tuple[float, float]:
+    """(F0-RMSE over both-voiced aligned frames, VUV disagreement rate) along a DTW
+    path computed on mel frames (same 10 ms hop as the pitch tracks)."""
+    ii = np.array([min(i, len(f0_a) - 1) for i, _ in path])
+    jj = np.array([min(j, len(f0_b) - 1) for _, j in path])
+    va, vb = f0_a[ii] > 0, f0_b[jj] > 0
+    vuv_err = float((va != vb).mean()) if len(path) else 0.0
+    both = va & vb
+    if both.sum() == 0:
+        return float("nan"), vuv_err
+    rmse = float(np.sqrt(((f0_a[ii][both] - f0_b[jj][both]) ** 2).mean()))
+    return rmse, vuv_err
 
 
 def voiced_ratio(logmel: np.ndarray, floor_db: float = -4.0) -> float:
@@ -83,6 +130,8 @@ def voiced_ratio(logmel: np.ndarray, floor_db: float = -4.0) -> float:
 
 
 def main(args):
+    _force_cpu_jax()
+    from ttscube_tpu.dsp.pitch import rapt_pitch
     from ttscube_tpu.utils.wavio import read_wav
 
     pairs = []
@@ -100,25 +149,58 @@ def main(args):
         ws, sr2 = read_wav(synth)
         assert sr == sr2, (sr, sr2)
         mo, ms = log_mel(wo, sr), log_mel(ws, sr)
+        mcd, path = mcd_dtw(mo, ms)
+        f0o = rapt_pitch(np.asarray(wo, np.float32), sr=sr)
+        f0s = rapt_pitch(np.asarray(ws, np.float32), sr=sr)
+        f0_rmse, vuv_err = f0_metrics(np.asarray(f0o), np.asarray(f0s), path)
+        dur_o, dur_s = len(wo) / sr, len(ws) / sr
         row = {
             "id": uid,
-            "mcd_dtw_db": round(mcd_dtw(mo, ms), 3),
-            "dur_orig_s": round(len(wo) / sr, 2),
-            "dur_synth_s": round(len(ws) / sr, 2),
+            "mcd_dtw_db": round(mcd, 3),
+            "f0_rmse_hz": round(f0_rmse, 2) if np.isfinite(f0_rmse) else None,
+            "vuv_error_pct": round(100.0 * vuv_err, 2),
+            "dur_error_pct": round(100.0 * abs(dur_s - dur_o) / max(dur_o, 1e-9), 2),
+            "dur_orig_s": round(dur_o, 2),
+            "dur_synth_s": round(dur_s, 2),
             "voiced_ratio_synth": round(voiced_ratio(ms), 3),
             "voiced_ratio_orig": round(voiced_ratio(mo), 3),
         }
         rows.append(row)
         print(f"{uid}: MCD-DTW {row['mcd_dtw_db']:.2f} dB  "
-              f"dur {row['dur_orig_s']:.2f}s->{row['dur_synth_s']:.2f}s  "
+              f"F0-RMSE {row['f0_rmse_hz'] if row['f0_rmse_hz'] is not None else 'n/a'} Hz  "
+              f"VUV-err {row['vuv_error_pct']:.1f}%  "
+              f"dur {row['dur_orig_s']:.2f}s->{row['dur_synth_s']:.2f}s "
+              f"({row['dur_error_pct']:.1f}%)  "
               f"voiced {row['voiced_ratio_orig']:.2f}->{row['voiced_ratio_synth']:.2f}")
+
+    def _mean(key):
+        vals = [r[key] for r in rows if r[key] is not None]
+        return round(float(np.mean(vals)), 3) if vals else None
 
     summary = {
         "pairs": rows,
-        "mean_mcd_dtw_db": round(float(np.mean([r["mcd_dtw_db"] for r in rows])), 3),
-        "mean_voiced_ratio_synth": round(
-            float(np.mean([r["voiced_ratio_synth"] for r in rows])), 3),
+        "n_pairs": len(rows),
+        "mean_mcd_dtw_db": _mean("mcd_dtw_db"),
+        "mean_f0_rmse_hz": _mean("f0_rmse_hz"),
+        "mean_vuv_error_pct": _mean("vuv_error_pct"),
+        "mean_dur_error_pct": _mean("dur_error_pct"),
+        "mean_voiced_ratio_synth": _mean("voiced_ratio_synth"),
     }
+    if args.baseline and os.path.exists(args.baseline):
+        base = json.load(open(args.baseline))
+        trend = {}
+        for k in ("mean_mcd_dtw_db", "mean_f0_rmse_hz", "mean_vuv_error_pct",
+                  "mean_dur_error_pct"):
+            if base.get(k) is not None and summary.get(k) is not None:
+                trend[k] = {"baseline": base[k], "now": summary[k],
+                            "delta": round(summary[k] - base[k], 3)}
+        summary["trend_vs_baseline"] = {"baseline_file": args.baseline,
+                                        "baseline_n_pairs": base.get("n_pairs",
+                                                                     len(base.get("pairs", []))),
+                                        "metrics": trend}
+        for k, t in trend.items():
+            arrow = "improved" if t["delta"] < 0 else "regressed"
+            print(f"trend {k}: {t['baseline']} -> {t['now']} ({t['delta']:+.3f}, {arrow})")
     out = os.path.join(args.dir, "quality_metrics.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
@@ -129,4 +211,6 @@ def main(args):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", required=True)
+    ap.add_argument("--baseline", default=None,
+                    help="previous drive's quality_metrics.json for a trend table")
     main(ap.parse_args())

@@ -1,17 +1,29 @@
 """Unit tests for the quality-drive tooling (scripts/collect_drive_artifacts.py,
-scripts/eval_drive_quality.py) — the log parser, curve renderer, and MCD-DTW metric
-these drives' artifacts depend on."""
+scripts/eval_drive_quality.py) — the log parser, curve renderer, and the MCD-DTW /
+F0 / VUV metrics these drives' artifacts depend on."""
 
+import importlib.util
 import os
-import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                                "scripts"))
+_SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "scripts")
 
-import collect_drive_artifacts as cda  # noqa: E402
-import eval_drive_quality as edq  # noqa: E402
+
+def _load(name):
+    # load by explicit file path instead of sys.path.insert(0, scripts/): generically
+    # named scripts modules (patch.py, g2p.py, ...) must not shadow stdlib/package
+    # imports for the rest of the pytest session
+    spec = importlib.util.spec_from_file_location(
+        f"drive_tools_{name}", os.path.join(_SCRIPTS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+cda = _load("collect_drive_artifacts")
+edq = _load("eval_drive_quality")
 
 
 def test_parse_log_step_lines(tmp_path):
@@ -36,7 +48,9 @@ def test_render_curve_writes_png(tmp_path):
 def test_mcd_dtw_identical_is_zero():
     rng = np.random.default_rng(0)
     mel = rng.normal(size=(40, 80)).astype(np.float32)
-    assert edq.mcd_dtw(mel, mel) == 0.0
+    mcd, path = edq.mcd_dtw(mel, mel)
+    assert mcd == 0.0
+    assert path == [(i, i) for i in range(40)]  # identity alignment
 
 
 def test_mcd_dtw_alignment_invariance():
@@ -46,16 +60,39 @@ def test_mcd_dtw_alignment_invariance():
     mel = rng.normal(size=(30, 80)).astype(np.float32)
     stretched = np.repeat(mel, 2, axis=0)
     other = rng.normal(size=(30, 80)).astype(np.float32)
-    assert edq.mcd_dtw(mel, stretched) < 1e-6
-    assert edq.mcd_dtw(mel, other) > 1.0
+    assert edq.mcd_dtw(mel, stretched)[0] < 1e-6
+    assert edq.mcd_dtw(mel, other)[0] > 1.0
 
 
 def test_mcd_dtw_scales_with_distortion():
     rng = np.random.default_rng(2)
     mel = rng.normal(size=(50, 80)).astype(np.float32)
-    small = edq.mcd_dtw(mel, mel + 0.01)
-    large = edq.mcd_dtw(mel, mel + 0.1)
+    small = edq.mcd_dtw(mel, mel + 0.01)[0]
+    large = edq.mcd_dtw(mel, mel + 0.1)[0]
     assert 0 < small < large
+
+
+def test_f0_metrics_perfect_match():
+    f0 = np.array([0, 120, 125, 130, 0, 0, 140, 0], np.float32)
+    path = [(i, i) for i in range(len(f0))]
+    rmse, vuv = edq.f0_metrics(f0, f0, path)
+    assert rmse == 0.0 and vuv == 0.0
+
+
+def test_f0_metrics_offset_and_vuv():
+    a = np.array([0, 100, 100, 100, 0], np.float32)
+    b = np.array([0, 110, 110, 110, 110], np.float32)  # +10 Hz, one extra voiced frame
+    path = [(i, i) for i in range(5)]
+    rmse, vuv = edq.f0_metrics(a, b, path)
+    assert abs(rmse - 10.0) < 1e-6
+    assert abs(vuv - 0.2) < 1e-6  # 1 of 5 aligned frames disagrees on voicing
+
+
+def test_f0_metrics_all_unvoiced_is_nan_rmse():
+    a = np.zeros(6, np.float32)
+    path = [(i, i) for i in range(6)]
+    rmse, vuv = edq.f0_metrics(a, a, path)
+    assert np.isnan(rmse) and vuv == 0.0
 
 
 def test_voiced_ratio_bounds():

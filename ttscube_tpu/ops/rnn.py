@@ -15,6 +15,7 @@ Like the reference, full-sequence layers run over the *padded* batch without mas
 from __future__ import annotations
 
 import contextlib
+import contextvars
 from typing import Any
 
 import flax.linen as nn
@@ -41,25 +42,27 @@ SCAN_UNROLL = 8
 # minutes to >25 min (observed on the axon relay, round-3 quality drive) for a
 # recurrence that is <1% of the step's FLOPs. The override is read at TRACE time —
 # setting it inside a jitted function body (train_step does this) bakes unroll=1
-# into that executable only; inference traces keep SCAN_UNROLL.
-_UNROLL_OVERRIDE: int | None = None
+# into that executable only; inference traces keep SCAN_UNROLL. ContextVar (not a
+# plain global): a trace on another thread (async compile, background serving warmup)
+# must not observe a training trace's override, or vice versa.
+_UNROLL_OVERRIDE: contextvars.ContextVar[int | None] = contextvars.ContextVar(
+    "ttscube_unroll_override", default=None)
 
 
 @contextlib.contextmanager
 def unroll_override(n: int | None):
     """Trace-time scan-unroll override (use `with unroll_override(1):` around the
     body of a training step to keep its compile small)."""
-    global _UNROLL_OVERRIDE
-    prev = _UNROLL_OVERRIDE
-    _UNROLL_OVERRIDE = n
+    token = _UNROLL_OVERRIDE.set(n)
     try:
         yield
     finally:
-        _UNROLL_OVERRIDE = prev
+        _UNROLL_OVERRIDE.reset(token)
 
 
 def _unroll() -> int:
-    return SCAN_UNROLL if _UNROLL_OVERRIDE is None else _UNROLL_OVERRIDE
+    n = _UNROLL_OVERRIDE.get()
+    return SCAN_UNROLL if n is None else n
 
 
 def _lstm_scan(xw: jnp.ndarray, wh: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,

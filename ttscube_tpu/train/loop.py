@@ -97,11 +97,17 @@ def train(
             avg = {selection_metric: float("inf")}
         sys.stdout.write(f"\n\tepoch {epoch} ({time.time()-t0:.1f}s) val: " +
                          " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())) + "\n")
+        # .last saves follow the .opt.last cadence (each fetches ~100s of MB through
+        # the TPU relay); improvement epochs and the terminal epoch always save
+        done = max_steps != -1 and global_step >= max_steps
+        cadence = epoch % max(opt_save_every, 1) == 0
         improved = keeper.update(avg[selection_metric], state,
-                                 save_opt=(epoch % max(opt_save_every, 1) == 0))
+                                 save_opt=cadence or done,
+                                 save_last=cadence or done)
         sys.stdout.write(f"\tStored {output_base}.last" +
                          (f" + .best ({selection_metric}={avg[selection_metric]:.4f})\n"
-                          if improved else "\n"))
+                          if improved else "\n")
+                         if (improved or cadence or done) else "\t(no save this epoch)\n")
         sys.stdout.flush()
 
         if on_epoch_end is not None and epoch % epoch_generation == 0:

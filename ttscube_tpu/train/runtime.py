@@ -74,6 +74,69 @@ def synthesize_devset(textcoder, textcoder_variables, generator, generator_param
                   audio, sample_rate)
 
 
+def synthesize_from_checkpoint(base: str, dev_folder: str, out_folder: str,
+                               limit: int = -1, free: bool = True,
+                               which: str = ".last"):
+    """Rebuild a Cubegan from trainer artifacts (`{base}.yaml` + `{base}.encodings` +
+    `{base}{which}`) and synthesize a devset folder — the standalone equivalent of the
+    trainer's periodic `on_epoch_end` generation (scripts/train_cubegan.py), used by
+    quality drives to synthesize from the *final* weights regardless of the
+    epoch-generation cadence. Reference: ``cubegan_synthesize_dataset`` driven by
+    runtime.py:112-132's `__main__` in /root/reference/cube/io_utils/runtime.py."""
+    import jax
+
+    from ttscube_tpu.data.collate import CubeganCollate
+    from ttscube_tpu.data.datasets import CubeganDataset
+    from ttscube_tpu.data.encodings import CubeganEncodings
+    from ttscube_tpu.models.cubegan import Cubegan, CubeganConfig, create_train_state
+    from ttscube_tpu.models.languasito import LanguasitoConfig
+    from ttscube_tpu.utils.checkpoint import load_config, load_params
+    from ttscube_tpu.utils.wordvec import make_word_embedder
+
+    conf = load_config(base)
+    cond_spec = conf.get("conditioning")
+    cond_type = cond_spec.split(":")[0] if cond_spec else None
+    lm = None
+    lm_config = None
+    hf_tokenizer = None
+    if cond_type == "hf":
+        from ttscube_tpu.models.lm import LMConfig, TransformerEncoder
+        from ttscube_tpu.utils.hf import HFTokenizer
+
+        lm_config = LMConfig(**conf["lm_config"])
+        lm = TransformerEncoder(lm_config)
+        hf_tokenizer = HFTokenizer(cond_spec.split(":", 1)[1])
+
+    encodings = CubeganEncodings(base + ".encodings")
+    cfg = CubeganConfig(
+        languasito=LanguasitoConfig(
+            num_phones=len(encodings.phon2int),
+            num_speakers=len(encodings.speaker2int),
+            max_pitch=encodings.max_pitch,
+            max_duration=encodings.max_duration,
+            cond_type=cond_type,
+            lm_dim=lm_config.hidden_size if lm_config is not None else None),
+        sample_rate=conf.get("sample_rate", 24000),
+        hop_size=conf.get("hop_size", 240))
+    model = Cubegan(cfg, lm=lm)
+    hf_cond = cond_type == "hf"
+    dataset = CubeganDataset(dev_folder, hf_tokenizer=hf_tokenizer,
+                             hop_size=cfg.hop_size, sample_rate=cfg.sample_rate)
+    collate = CubeganCollate(encodings, word_embedder=make_word_embedder(cond_spec),
+                             hop=cfg.hop_size, hf_conditioning=hf_cond,
+                             bucket_tokens=512 if hf_cond else 64,
+                             bucket_words=8 if hf_cond else 1)
+    import jax.numpy as jnp
+    example = {k: jnp.asarray(v) for k, v in collate([dataset[0]]).items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    params = load_params(base + which, jax.device_get(state.params))
+    infer_params = {"lang": params["lang"], "gen": params["gen"]}
+    if "hf" in params:
+        infer_params["hf"] = params["hf"]
+    cubegan_synthesize_dataset(model, infer_params, dataset, collate, out_folder,
+                               limit=limit, free=free)
+
+
 def cubegan_synthesize_dataset(model, params, dataset, collate, output_path: str,
                                limit: int = -1, free: bool = True,
                                max_frames: int = 2048, speaker: str | None = None):

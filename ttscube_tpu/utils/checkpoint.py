@@ -78,12 +78,21 @@ class BestKeeper:
         self.best = float("inf")
         os.makedirs(os.path.dirname(os.path.abspath(base)), exist_ok=True)
 
-    def update(self, value: float, state, save_opt: bool = True) -> bool:
+    def update(self, value: float, state, save_opt: bool = True,
+               save_last: bool = True) -> bool:
+        """`save_last=False` skips the `.last` write on non-improving epochs — each
+        save fetches the full param tree through the TPU relay (~20 s for the 392 MB
+        Cubegan tree), which dominates short epochs. `.best` is always written on
+        improvement, and params are fetched from the device only once per call."""
         improved = value < self.best
+        if not (improved or save_last or save_opt):
+            return improved
+        host_params = jax.device_get(state.params)
         if improved:
             self.best = value
-            save_params(self.base + ".best", state.params)
-        save_params(self.base + ".last", state.params)
+            save_params(self.base + ".best", host_params)
+        if save_last or improved:
+            save_params(self.base + ".last", host_params)
         if save_opt:
             save_train_state(self.base + ".opt.last", state)
         return improved
