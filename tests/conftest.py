@@ -14,3 +14,20 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable caches after every test module.
+
+    One pytest process accumulates hundreds of XLA:CPU executables across the suite
+    (8 virtual devices multiply the footprint); with everything live, a fresh compile
+    deep into the run segfaulted inside `backend_compile_and_load` on a 1-core box
+    (reproduced twice on the round-3 tree at tests/test_pallas_resblock.py:362 —
+    the test passes alone). Modules don't share jitted functions, so per-module cache
+    clearing costs nothing and bounds the live-executable count. Belt-and-braces with
+    scripts/run_tests.sh (per-file process isolation)."""
+    yield
+    jax.clear_caches()

@@ -36,3 +36,32 @@ def test_generator_fold_narrow_is_exact():
     a_off = g_off.apply(params, mel)
     a_on = g_on.apply(params, mel)
     np.testing.assert_allclose(np.asarray(a_on), np.asarray(a_off), atol=1e-5)
+
+
+@pytest.mark.parametrize("d,k,F,C", [(3, 3, 4, 8), (5, 11, 4, 8), (3, 7, 1, 8),
+                                     (5, 3, 2, 16)])
+def test_polyphase_dilated_conv_matches_plain(d, k, F, C):
+    from ttscube_tpu.ops.conv import polyphase_dilated_conv
+
+    rng = np.random.default_rng(1)
+    T = 120  # divisible by 3, 5 and by d*F for every case above
+    x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, C, C)).astype(np.float32) * 0.1)
+    p = d * (k - 1) // 2
+    want = jax.lax.conv_general_dilated(x, w, (1,), [(p, p)], rhs_dilation=(d,),
+                                        dimension_numbers=("NWC", "WIO", "NWC"))
+    got = polyphase_dilated_conv(x, w, dilation=d, fold=F)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_generator_polyphase_is_exact():
+    """polyphase_channels must produce the same audio as the plain dilated convs."""
+    cfg_off = HifiganConfig(upsample_initial_channel=128)
+    cfg_on = HifiganConfig(upsample_initial_channel=128,
+                           polyphase_channels=(16, 32, 64))
+    g_off, g_on = Generator(cfg_off), Generator(cfg_on)
+    params = g_off.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 80))
+    a_off = g_off.apply(params, mel)
+    a_on = g_on.apply(params, mel)
+    np.testing.assert_allclose(np.asarray(a_on), np.asarray(a_off), atol=1e-5)

@@ -7,6 +7,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# every test here jit-compiles interpret-mode pallas programs (minutes of XLA:CPU
+# compile each on a small box) — slow tier; the kernels they guard only change with
+# ops/pallas_resblock.py / models/hifigan_fused.py edits (VERDICT r3 weak-2)
+pytestmark = pytest.mark.slow
+
 from ttscube_tpu.models.hifigan import Generator, HifiganConfig
 from ttscube_tpu.models.hifigan_fused import _plain_resblock1, generator_apply_fused
 from ttscube_tpu.ops.pallas_resblock import fused_resblock1

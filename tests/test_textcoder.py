@@ -1,6 +1,7 @@
 """Textcoder tests: teacher-forced pass, losses, AR inference param remap."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,7 @@ def test_forward_and_losses():
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow  # AR-scan compile dominates the fast tier (VERDICT r3 weak-2)
 def test_inference_remap_and_shapes():
     model = CubenetTextcoder(CFG)
     X = toy_batch()

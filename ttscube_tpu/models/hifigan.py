@@ -51,6 +51,12 @@ class HifiganConfig:
     # ops/conv.fold_conv_kernel). Wins 4.7x on isolated convs but LOSES ~1.7x composed
     # into the full generator (XLA fusion/layout interactions) — keep off by default.
     fold_narrow: bool = False
+    # stage widths whose MRF convs run polyphase-decomposed + time-folded (exact,
+    # zero FLOP inflation: ops/conv.polyphase_dilated_conv — the d-phase transposes
+    # convert every dilated conv to dense, and dense convs fold into full-lane
+    # matmuls). The VERDICT-r3-item-5 experiment for the B=128 tail stages (C=64/32
+    # sit at 33.9/56.7 ms vs a ~21 ms FLOP floor); numbers in CLAUDE.md.
+    polyphase_channels: tuple[int, ...] = ()
     # inference: run the generator tail through fused pallas kernels
     # (ops/pallas_resblock.py) — the final stage (upsample + MRF + conv_post + tanh)
     # is ONE kernel, so the widest activation never touches HBM. Measured e2e serving
@@ -97,6 +103,7 @@ class ResBlock1(nn.Module):
     dilations: Sequence[int]
     compute_dtype: Any = None
     fold_time: int = 1
+    polyphase: bool = False  # dilated convs via polyphase_dilated_conv (+fold_time)
 
     @nn.compact
     def __call__(self, x):
@@ -104,7 +111,8 @@ class ResBlock1(nn.Module):
             h = nn.leaky_relu(x, LRELU_SLOPE)
             h = WNConv1d(self.channels, self.kernel_size, dilation=d,
                          compute_dtype=self.compute_dtype,
-                         fold_time=self.fold_time if d == 1 else 1)(h)
+                         polyphase=self.polyphase,
+                         fold_time=self.fold_time if (d == 1 or self.polyphase) else 1)(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             h = WNConv1d(self.channels, self.kernel_size, dilation=1,
                          compute_dtype=self.compute_dtype, fold_time=self.fold_time)(h)
@@ -120,6 +128,7 @@ class ResBlock2(nn.Module):
     dilations: Sequence[int]
     compute_dtype: Any = None
     fold_time: int = 1
+    polyphase: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -127,7 +136,8 @@ class ResBlock2(nn.Module):
             h = nn.leaky_relu(x, LRELU_SLOPE)
             h = WNConv1d(self.channels, self.kernel_size, dilation=d,
                          compute_dtype=self.compute_dtype,
-                         fold_time=self.fold_time if d == 1 else 1)(h)
+                         polyphase=self.polyphase,
+                         fold_time=self.fold_time if (d == 1 or self.polyphase) else 1)(h)
             x = x + h
         return x
 
@@ -150,11 +160,12 @@ class Generator(nn.Module):
             ch = ch // 2
             x = WNConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"up_{i}",
                                   compute_dtype=cd)(x)
-            fold = 128 // ch if (c.fold_narrow and ch <= 32) else 1
+            poly = ch in c.polyphase_channels
+            fold = max(128 // ch, 1) if (poly or (c.fold_narrow and ch <= 32)) else 1
             acc = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)):
                 h = res_cls(ch, rk, rd, compute_dtype=cd, fold_time=fold,
-                            name=f"res_{i}_{j}")(x)
+                            polyphase=poly, name=f"res_{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(c.resblock_kernel_sizes)
         x = nn.leaky_relu(x.astype(jnp.float32), 0.01)  # final act/conv stay fp32

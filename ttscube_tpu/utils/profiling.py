@@ -51,9 +51,12 @@ class PhaseTimer:
         return "\n".join(lines)
 
 
-def device_timer(fn, *args, reps: int = 10, relay_floor_s: float = 0.028) -> float:
+def device_timer(fn, *args, reps: int = 10, relay_floor_s: float = 0.028,
+                 return_compile_time: bool = False):
     """Median-free single-shot amortized timing: runs `fn(*args)` `reps` times inside
-    one jitted loop (chained through a scalar) and returns seconds per call."""
+    one jitted loop (chained through a scalar) and returns seconds per call (or a
+    ``(seconds_per_call, compile_seconds)`` pair with `return_compile_time` — compile
+    wall time matters on the relay, where big programs can take minutes)."""
 
     @jax.jit
     def loop(*a):
@@ -65,7 +68,12 @@ def device_timer(fn, *args, reps: int = 10, relay_floor_s: float = 0.028) -> flo
             return acc + sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    float(loop(*args))  # compile
+    tc = time.perf_counter()
+    float(loop(*args))  # compile (+1 run)
+    compile_s = time.perf_counter() - tc
     t0 = time.perf_counter()
     float(loop(*args))
-    return max(time.perf_counter() - t0 - relay_floor_s, 0.0) / reps
+    per_call = max(time.perf_counter() - t0 - relay_floor_s, 0.0) / reps
+    if return_compile_time:
+        return per_call, compile_s
+    return per_call
