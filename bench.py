@@ -170,6 +170,17 @@ def main(batch: int = 128, chunk: int = 0, fused: bool = True):
             record["train_mfu_error"] = mfu_err
     except Exception as e:  # train metrics are best-effort; never break the contract
         record["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        # the trainer's real workload (batch 16, reference train_cubegan.py:160);
+        # fused_tail_train auto-gates itself by fused_train_max_batch
+        step_ms, mfu, mfu_err = train_bench(fused=fused, B=16)
+        record["train_step_ms_b16"] = round(step_ms, 2)
+        if mfu is not None:
+            record["train_mfu_pct_b16"] = round(mfu, 2)
+        if mfu_err is not None:
+            record["train_mfu_error_b16"] = mfu_err
+    except Exception as e:
+        record["train_error_b16"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(record))
 
 

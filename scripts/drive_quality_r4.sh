@@ -154,4 +154,53 @@ done
 JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
     --dir "$OUT" \
     --baseline artifacts/quality_drive_r2/quality_metrics.json || true
+
+# artifact README: drive config, final losses, metric trend vs the r2 drive
+python -u - "$OUT" "$SPEAKERS" "$SENTENCES" "$MAIN_STEPS" "$HF_STEPS" <<'EOF'
+import json, sys, os, csv
+out, spk, sent, main_steps, hf_steps = sys.argv[1:6]
+lines = [
+    "# Quality drive — round 4",
+    "",
+    f"Corpus: {spk} synthetic speakers x {sent} sentences (scripts/make_demo_corpus.py),",
+    f"imported via scripts/import_blizzard_2023.py. Main Cubegan run {main_steps} steps",
+    f"(batch 16, plain generator path); HF-conditioned run {hf_steps} steps with the",
+    "local demo BERT (scripts/make_demo_lm.py). Phonemizer: aligned, PACC/SACC below.",
+    "Pipeline: corpus -> phonemizer -> GAN runs -> export_model -> split-volume",
+    "reassembly -> TTSCube API synthesis (api_*.wav) -> devset free synthesis",
+    "(synth_*.wav vs orig_*.wav) -> MCD-DTW/F0/VUV/duration metrics.",
+    "(Reference workflow: /root/reference/TRAINING.md steps 1-3.)",
+    "",
+]
+pf = os.path.join(out, "phonemizer_final.txt")
+if os.path.exists(pf):
+    lines += ["Phonemizer final: " + open(pf).read().strip().split("\n")[-1].strip(), ""]
+for pref in ("main_", "hf_"):
+    c = os.path.join(out, f"{pref}losses.csv")
+    if os.path.exists(c):
+        rows = list(csv.DictReader(open(c)))
+        if rows:
+            first, last = rows[0], rows[-1]
+            lines += [f"{pref}run: step {first['step']} -> {last['step']}, "
+                      f"loss_mel {float(first.get('loss_mel', 'nan')):.3f} -> "
+                      f"{float(last.get('loss_mel', 'nan')):.3f}"]
+q = os.path.join(out, "quality_metrics.json")
+if os.path.exists(q):
+    m = json.load(open(q))
+    lines += ["", f"## Metrics ({m.get('n_pairs')} devset pairs, free synthesis)", ""]
+    for k in ("mean_mcd_dtw_db", "mean_f0_rmse_hz", "mean_vuv_error_pct",
+              "mean_dur_error_pct", "mean_voiced_ratio_synth"):
+        if m.get(k) is not None:
+            lines.append(f"- {k}: {m[k]}")
+    t = m.get("trend_vs_baseline", {})
+    if t.get("metrics"):
+        lines += ["", f"## Trend vs r2 drive ({t.get('baseline_n_pairs')} pairs; r2 "
+                      "baseline recomputed on CPU fp32 — the originally committed "
+                      "21.3 dB was an axon-backend artifact, see CLAUDE.md)", ""]
+        for k, d in t["metrics"].items():
+            arrow = "improved" if d["delta"] < 0 else "regressed"
+            lines.append(f"- {k}: {d['baseline']} -> {d['now']} ({d['delta']:+.3f}, {arrow})")
+open(os.path.join(out, "README.md"), "w").write("\n".join(lines) + "\n")
+print("wrote", os.path.join(out, "README.md"))
+EOF
 stamp "DONE"

@@ -79,6 +79,16 @@ def main(args):
                 ("fused tail + bf16", dict(fuse_channels=(32,),
                                            storage_dtype=jnp.bfloat16,
                                            fuse_max_batch=10**9))]
+    if args.polyphase:
+        # polyphase-decomposed dilated MRF convs (zero FLOP inflation) at the
+        # given stage widths — the VERDICT-r3-item-5 experiment
+        pc = tuple(int(c) for c in args.polyphase.split(","))
+        variants += [
+            (f"polyphase {pc} fp32", dict(fuse_channels=(), storage_dtype=None,
+                                          polyphase_channels=pc)),
+            (f"polyphase {pc} bf16-storage", dict(fuse_channels=(),
+                                                  storage_dtype=jnp.bfloat16,
+                                                  polyphase_channels=pc))]
     n_stages = len(cfg.hifigan.upsample_rates)
     for name, kw in variants:
         gen = lambda p, c: generator_apply_fused(p["gen"], c, cfg.hifigan, **kw)
@@ -126,4 +136,7 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--no-per-stage", dest="per_stage", action="store_false")
+    ap.add_argument("--polyphase", default=None,
+                    help="comma-separated stage widths to ALSO measure with "
+                         "polyphase-decomposed dilated convs (e.g. '32,64')")
     main(ap.parse_args())

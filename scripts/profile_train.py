@@ -55,7 +55,9 @@ def main(args):
                                     max_duration=100),
         hifigan=HifiganConfig(
             fused_tail_train=args.fused_tail_train and on_tpu,
-            compute_dtype=args.compute_dtype))
+            fused_train_max_batch=max(args.fused_max_batch, B),
+            compute_dtype=args.compute_dtype),
+        disc_compute_dtype=args.compute_dtype)
     model = Cubegan(cfg, train=True)
 
     rng = np.random.default_rng(0)
@@ -219,6 +221,9 @@ if __name__ == "__main__":
     ap.add_argument("--unroll", type=int, default=1,
                     help="scan unroll for the traced phases (training default 1)")
     ap.add_argument("--fused-tail-train", action="store_true")
+    ap.add_argument("--fused-max-batch", type=int, default=0,
+                    help="raise hifigan.fused_train_max_batch for the measurement "
+                         "(the profiler always lifts it to --batch)")
     ap.add_argument("--compute-dtype", default="float32",
                     help="hifigan compute dtype (bfloat16 runs generator convs on the "
                          "MXU at bf16 with fp32 accumulation)")

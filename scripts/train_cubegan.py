@@ -94,12 +94,19 @@ def _train(args):
         sample_rate=args.sample_rate,
         hop_size=args.hop_size,
     )
-    if args.fused_tail_train:
-        # final-stage generator forward+backward as fused pallas kernels
-        # (ops/pallas_resblock.fused_tail_stage_grad custom VJP; TPU-only path)
+    if args.fused_tail_train or args.compute_dtype != "float32":
         from dataclasses import replace as _dc_replace
         from ttscube_tpu.models.hifigan import HifiganConfig
-        cfg = _dc_replace(cfg, hifigan=HifiganConfig(fused_tail_train=True))
+        # fused_tail_train: final-stage generator forward+backward as fused pallas
+        # kernels (ops/pallas_resblock.fused_tail_stage_grad custom VJP; TPU-only;
+        # auto-falls back above hifigan.fused_train_max_batch).
+        # compute_dtype=bfloat16: generator + discriminator convs on the MXU at bf16
+        # with fp32 accumulation (params/grads/optimizer stay fp32).
+        cfg = _dc_replace(
+            cfg,
+            hifigan=HifiganConfig(fused_tail_train=args.fused_tail_train,
+                                  compute_dtype=args.compute_dtype),
+            disc_compute_dtype=args.compute_dtype)
     model = Cubegan(cfg, lm=lm)
     from ttscube_tpu.utils.wordvec import make_word_embedder
     # HF conditioning adds two more varying batch axes (tokens, words); at exact
@@ -173,6 +180,11 @@ if __name__ == "__main__":
     parser.add_argument("--fused-tail-train", dest="fused_tail_train",
                         action="store_true",
                         help="fused pallas forward+backward for the generator's final "
-                             "stage (TPU; ~10%% faster GAN step at the default crop)")
+                             "stage (TPU; ~10%% faster GAN step at the default crop; "
+                             "auto-falls back above hifigan.fused_train_max_batch)")
+    parser.add_argument("--compute-dtype", dest="compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="generator+discriminator conv compute dtype (bfloat16 = "
+                             "MXU bf16 with fp32 accumulation; params/grads stay fp32)")
     parser.add_argument("--resume", dest="resume", action="store_true")
     _train(parser.parse_args())

@@ -229,3 +229,61 @@ def test_inference_fused_tail_matches_flax():
     with force_pallas_interpret():  # off-TPU default is the plain-XLA fallback
         got, _ = jax.jit(lambda p, x: model_fused.infer(p, x, max_frames=48))(state.params, Xi)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_fused_train_batch_gate_falls_back_with_warning():
+    """fused_tail_train above fused_train_max_batch must warn and produce the exact
+    flax-path forward (the custom-VJP program's remote compile grows with batch —
+    VERDICT r3 item 3 auto-gate)."""
+    import dataclasses
+    import warnings
+
+    base = tiny_model()
+    gated_cfg = dataclasses.replace(
+        base.config,
+        hifigan=dataclasses.replace(TINY_HIFI, fused_tail_train=True,
+                                    fused_train_max_batch=1))
+    gated = Cubegan(gated_cfg)
+    batch = toy_batch(B=2)
+    state = create_train_state(base, jax.random.PRNGKey(0), batch)
+    pg = {k: v for k, v in state.params.items() if k not in ("mpd", "msd")}
+    rng = jax.random.PRNGKey(3)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        outs_gated, y_w = gated.gan_forward(pg, batch, rng, 50)
+    assert any("fused_train_max_batch" in str(w.message) for w in rec)
+    outs_plain, y_w2 = base.gan_forward(pg, batch, rng, 50)
+    np.testing.assert_allclose(np.asarray(outs_gated[3]), np.asarray(outs_plain[3]),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(y_w), np.asarray(y_w2), atol=0)
+
+
+def test_bf16_compute_train_step_matches_fp32_within_noise():
+    """--compute-dtype bfloat16 training path (VERDICT r3 item 4): the GAN step runs
+    with bf16 conv compute in generator AND discriminators, params/optimizer stay
+    fp32, and the step's losses land within bf16 matmul noise of the fp32 step.
+    (Parity tolerance is the bf16-noise methodology of CLAUDE.md pallas-VJP
+    lesson 2, not exactness — the MXU computes fp32 convs at bf16 precision by
+    default anyway, so on TPU these two configs differ even less.)"""
+    import dataclasses
+
+    base = tiny_model()
+    cfg16 = dataclasses.replace(
+        base.config,
+        hifigan=dataclasses.replace(TINY_HIFI, compute_dtype="bfloat16"),
+        disc_compute_dtype="bfloat16")
+    m16 = Cubegan(cfg16)
+    batch = toy_batch(B=2)
+    state = create_train_state(base, jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(5)
+    s32, met32 = jax.jit(lambda s, b, r: train_step(base, s, b, r))(state, batch, rng)
+    s16, met16 = jax.jit(lambda s, b, r: train_step(m16, s, b, r))(state, batch, rng)
+    f32 = {k: float(v) for k, v in jax.device_get(met32).items()}
+    f16 = {k: float(v) for k, v in jax.device_get(met16).items()}
+    for k in f32:
+        assert np.isfinite(f16[k]), k
+        # loss scales range ~0.3..60 here; bf16 conv noise moves them by well under 5%
+        assert abs(f16[k] - f32[k]) <= 0.05 * max(abs(f32[k]), 1.0), (k, f32[k], f16[k])
+    # params remain fp32 after the bf16 step
+    assert all(l.dtype == np.float32 for l in jax.tree.leaves(jax.device_get(s16.params))
+               if hasattr(l, "dtype"))

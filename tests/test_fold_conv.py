@@ -65,3 +65,17 @@ def test_generator_polyphase_is_exact():
     a_off = g_off.apply(params, mel)
     a_on = g_on.apply(params, mel)
     np.testing.assert_allclose(np.asarray(a_on), np.asarray(a_off), atol=1e-5)
+
+
+def test_generator_apply_fused_polyphase_is_exact():
+    """The functional serving generator with polyphase_channels must match its own
+    plain path (mel frames chosen so every stage length divides 3 and 5)."""
+    from ttscube_tpu.models.hifigan_fused import generator_apply_fused
+
+    cfg = HifiganConfig(upsample_initial_channel=128)
+    g = Generator(cfg)
+    params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))["params"]
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 80))
+    want = generator_apply_fused(params, mel, cfg)
+    got = generator_apply_fused(params, mel, cfg, polyphase_channels=(16, 32, 64))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -69,6 +69,12 @@ class CubeganConfig:
     mel_weight: float = 45.0
     mpd_channels: tuple = (32, 128, 512, 1024)  # reference sizes; shrink for tests
     msd_width: int = 128
+    # "bfloat16" runs the discriminator convs on the MXU at bf16 with fp32
+    # accumulation (weight-norm/spectral-norm math stays fp32). Training-side
+    # mixed precision (VERDICT r3 item 4); generator compute dtype is
+    # hifigan.compute_dtype. Grad parity must be judged against the MXU
+    # default-precision noise floor (CLAUDE.md pallas-VJP lesson 2).
+    disc_compute_dtype: str = "float32"
 
 
 class Cubegan:
@@ -86,8 +92,11 @@ class Cubegan:
         self.lm = lm  # optional in-model LM encoder (HF conditioning; params["hf"])
         self.train_mode = train
         if train:
-            self.mpd = MultiPeriodDiscriminator(channels=config.mpd_channels)
-            self.msd = MultiScaleDiscriminator(width=config.msd_width)
+            dcd = {"float32": None, "bfloat16": jnp.bfloat16}[config.disc_compute_dtype]
+            self.mpd = MultiPeriodDiscriminator(channels=config.mpd_channels,
+                                                compute_dtype=dcd)
+            self.msd = MultiScaleDiscriminator(width=config.msd_width,
+                                               compute_dtype=dcd)
         self.mel = MelSpec(gan_mel_config(config.sample_rate, hop_length=config.hop_size))
 
     # -- init ---------------------------------------------------------------------
@@ -137,7 +146,8 @@ class Cubegan:
                 params["gen"], c, self.config.hifigan,
                 compute_dtype=self.config.hifigan.jnp_compute_dtype,
                 storage_dtype=self.config.hifigan.jnp_storage_dtype,
-                fuse_channels=self.config.hifigan.fuse_channels)
+                fuse_channels=self.config.hifigan.fuse_channels,
+                polyphase_channels=self.config.hifigan.polyphase_channels)
         else:
             gen = lambda c: self.generator.apply({"params": params["gen"]}, c)
         if chunk_frames is not None:
@@ -178,7 +188,19 @@ class Cubegan:
         # exceeds the window, cubegan.py:115,217)
         window = min(window, cond.shape[1])
         cond_w, y_w = self._crop(cond, batch["y_audio"], batch["n_frames"], rng, window)
-        if self.config.hifigan.fused_tail_train:
+        use_fused = (self.config.hifigan.fused_tail_train
+                     and cond_w.shape[0] <= self.config.hifigan.fused_train_max_batch)
+        if self.config.hifigan.fused_tail_train and not use_fused:
+            import warnings
+
+            warnings.warn(
+                f"fused_tail_train: batch {cond_w.shape[0]} exceeds "
+                f"fused_train_max_batch={self.config.hifigan.fused_train_max_batch}; "
+                "falling back to the flax generator path (the custom-VJP program's "
+                "remote compile grows with batch — measure with "
+                "scripts/profile_train.py --fused-tail-train before raising the cap)",
+                stacklevel=2)
+        if use_fused:
             # fused pallas tail with a fused pallas BACKWARD (custom VJP): the widest
             # activation and its cotangent stay in VMEM through the GAN step
             from ttscube_tpu.models.hifigan_fused import generator_apply_fused_train

@@ -76,6 +76,11 @@ class HifiganConfig:
     # activation/cotangent stays in VMEM in both directions of the GAN step
     # (reference training hot path: cubegan.py:85-189).
     fused_tail_train: bool = False
+    # fused_tail_train auto-falls back to the flax path above this batch size: the
+    # custom-VJP program's remote compile grows with batch (round-3 quality drive:
+    # B=4 compiles in minutes, B=16 took >30 min through the axon relay). Raise after
+    # measuring on your deployment (scripts/profile_train.py --fused-tail-train).
+    fused_train_max_batch: int = 8
 
     @property
     def jnp_compute_dtype(self):
@@ -217,6 +222,7 @@ class DiscriminatorP(nn.Module):
 
     period: int
     channels: tuple[int, ...] = (32, 128, 512, 1024)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -229,14 +235,17 @@ class DiscriminatorP(nn.Module):
         h = x.reshape(B, T // p, p, 1)
         fmap = []
         for i, ch in enumerate(self.channels):
-            h = WNConv2d(ch, (5, 1), strides=(3, 1), padding=(2, 0), name=f"conv_{i}")(h)
+            h = WNConv2d(ch, (5, 1), strides=(3, 1), padding=(2, 0),
+                         compute_dtype=self.compute_dtype, name=f"conv_{i}")(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
         h = WNConv2d(self.channels[-1], (5, 1), strides=(1, 1), padding=(2, 0),
+                     compute_dtype=self.compute_dtype,
                      name=f"conv_{len(self.channels)}")(h)
         h = nn.leaky_relu(h, LRELU_SLOPE)
         fmap.append(h)
-        h = WNConv2d(1, (3, 1), strides=(1, 1), padding=(1, 0), name="conv_post")(h)
+        h = WNConv2d(1, (3, 1), strides=(1, 1), padding=(1, 0),
+                     compute_dtype=self.compute_dtype, name="conv_post")(h)
         fmap.append(h)
         return h.reshape(B, -1), fmap
 
@@ -246,6 +255,7 @@ class DiscriminatorS(nn.Module):
 
     use_spectral_norm: bool = False
     width: int = 128  # base channel width; 128 = reference size
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_stats: bool = False):
@@ -267,15 +277,20 @@ class DiscriminatorS(nn.Module):
             in_ch = kw["features"]
         for i, kw in enumerate(layers):
             if self.use_spectral_norm:
-                h = SNConv1d(**kw, name=f"conv_{i}")(h, update_stats=update_stats)
+                h = SNConv1d(**kw, compute_dtype=self.compute_dtype,
+                             name=f"conv_{i}")(h, update_stats=update_stats)
             else:
-                h = WNConv1d(**kw, name=f"conv_{i}")(h)
+                h = WNConv1d(**kw, compute_dtype=self.compute_dtype,
+                             name=f"conv_{i}")(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
         if self.use_spectral_norm:
-            h = SNConv1d(features=1, kernel_size=3, padding=1, name="conv_post")(h, update_stats=update_stats)
+            h = SNConv1d(features=1, kernel_size=3, padding=1,
+                         compute_dtype=self.compute_dtype,
+                         name="conv_post")(h, update_stats=update_stats)
         else:
-            h = WNConv1d(features=1, kernel_size=3, padding=1, name="conv_post")(h)
+            h = WNConv1d(features=1, kernel_size=3, padding=1,
+                         compute_dtype=self.compute_dtype, name="conv_post")(h)
         fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
 
@@ -283,12 +298,14 @@ class DiscriminatorS(nn.Module):
 class MultiPeriodDiscriminator(nn.Module):
     periods: tuple[int, ...] = (2, 3, 5, 7, 11)
     channels: tuple[int, ...] = (32, 128, 512, 1024)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         rs, gs, fmap_rs, fmap_gs = [], [], [], []
         for p in self.periods:
-            d = DiscriminatorP(p, channels=self.channels, name=f"p{p}")
+            d = DiscriminatorP(p, channels=self.channels,
+                               compute_dtype=self.compute_dtype, name=f"p{p}")
             r, fr = d(y)
             g, fg = d(y_hat)
             rs.append(r); gs.append(g); fmap_rs.append(fr); fmap_gs.append(fg)
@@ -297,6 +314,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     width: int = 128
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, update_stats: bool = False):
@@ -310,7 +328,8 @@ class MultiScaleDiscriminator(nn.Module):
 
         rs, gs, fmap_rs, fmap_gs = [], [], [], []
         for i in range(3):
-            d = DiscriminatorS(use_spectral_norm=(i == 0), width=self.width, name=f"s{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0), width=self.width,
+                               compute_dtype=self.compute_dtype, name=f"s{i}")
             r, fr = d(y, update_stats=update_stats) if i == 0 else d(y)
             g, fg = d(y_hat, update_stats=False) if i == 0 else d(y_hat)
             rs.append(r); gs.append(g); fmap_rs.append(fr); fmap_gs.append(fg)

@@ -72,19 +72,41 @@ def _st(x, storage_dtype):
 
 
 def _plain_resblock1(x, kernels, biases, dilations, compute_dtype=None,
-                     storage_dtype=None):
+                     storage_dtype=None, polyphase_fold: int = 0):
     """XLA fallback, mirrors models/hifigan.py:61-81 exactly (incl. the modules'
     compute_dtype cast — bf16 matmuls, fp32 accumulation; storage_dtype additionally
-    keeps the inter-conv activations/residuals in bf16, halving HBM traffic)."""
+    keeps the inter-conv activations/residuals in bf16, halving HBM traffic).
+
+    polyphase_fold > 0: dilated convs run polyphase-decomposed + time-folded to
+    `polyphase_fold` lanes-filling slots (ops/conv.polyphase_dilated_conv — exact,
+    zero FLOP inflation; the VERDICT-r3-item-5 serving experiment), and the d=1
+    convs run time-folded too."""
+    from ttscube_tpu.ops.conv import fold_conv_kernel, polyphase_dilated_conv
+
     i = 0
     for d in dilations:
         h = jax.nn.leaky_relu(x, LRELU_SLOPE)
         k = kernels[i].shape[0]
-        h = _st(_conv(*_cd(h, kernels[i], compute_dtype),
-                      1, d * (k - 1) // 2, d, 1) + biases[i], storage_dtype)
+        if polyphase_fold and d > 1 and h.shape[1] % d == 0:
+            hh, ww = _cd(h, kernels[i], compute_dtype)
+            h = _st(polyphase_dilated_conv(hh, ww, dilation=d, fold=polyphase_fold)
+                    + biases[i], storage_dtype)
+        else:
+            h = _st(_conv(*_cd(h, kernels[i], compute_dtype),
+                          1, d * (k - 1) // 2, d, 1) + biases[i], storage_dtype)
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
-        h = _st(_conv(*_cd(h, kernels[i + 1], compute_dtype),
-                      1, (k - 1) // 2, 1, 1) + biases[i + 1], storage_dtype)
+        if polyphase_fold and h.shape[1] % polyphase_fold == 0:
+            hh, ww = _cd(h, kernels[i + 1], compute_dtype)
+            wp, (lo, hi) = fold_conv_kernel(ww, polyphase_fold)
+            B, T, C = hh.shape
+            hf = jax.lax.conv_general_dilated(
+                hh.reshape(B, T // polyphase_fold, polyphase_fold * C), wp, (1,),
+                [(lo, hi)], dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32).reshape(B, T, C)
+            h = _st(hf + biases[i + 1], storage_dtype)
+        else:
+            h = _st(_conv(*_cd(h, kernels[i + 1], compute_dtype),
+                          1, (k - 1) // 2, 1, 1) + biases[i + 1], storage_dtype)
         x = x + h
         i += 2
     return x
@@ -95,6 +117,7 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                           compute_dtype=None, fuse_channels: tuple = (32,),
                           fuse_max_batch: int = 64,
                           storage_dtype=None,
+                          polyphase_channels: tuple = (),
                           max_stages: int | None = None) -> jnp.ndarray:
     """mel/cond (B, frames, num_mels) → audio (B, frames·total_upsample).
 
@@ -194,6 +217,8 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                                interpret=interpret, compute_dtype=compute_dtype),
                     storage_dtype)
         else:
+            pfold = (max(128 // ch, 1)
+                     if (ch in polyphase_channels and ch < 128) else 0)
             acc = None
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                              cfg.resblock_dilation_sizes)):
@@ -203,7 +228,8 @@ def generator_apply_fused(params, mel: jnp.ndarray, cfg: HifiganConfig,
                 biases = [pj[f"WNConv1d_{m}"]["bias"] for m in range(n)]
                 acc_h = _plain_resblock1(x, kernels, biases, rd,
                                          compute_dtype=compute_dtype,
-                                         storage_dtype=storage_dtype)
+                                         storage_dtype=storage_dtype,
+                                         polyphase_fold=pfold)
                 acc = acc_h if acc is None else acc + acc_h
             x = acc / len(cfg.resblock_kernel_sizes)
         if max_stages == i + 1:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _conv(x, kernel, stride=1, padding=0, dilation=1, groups=1):
+def _conv(x, kernel, stride=1, padding=0, dilation=1, groups=1, preferred=jnp.float32):
     return jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride,),
@@ -24,11 +24,27 @@ def _conv(x, kernel, stride=1, padding=0, dilation=1, groups=1):
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
 
 
-def _conv_transpose(x, kernel, stride=1, padding=0):
+def _mp_cast(x, kernel, compute_dtype):
+    """Mixed-precision operand cast + matching `preferred` for a DIFFERENTIABLE conv.
+
+    Inference paths use bf16 operands with preferred_element_type=fp32 (fp32-out,
+    zero extra rounding) — but that pattern's transpose rule calls
+    conv(cotangent_fp32, kernel_bf16) and lax.conv_general_dilated rejects mixed
+    dtypes, so autodiff through it fails. Training modules instead let the conv
+    output `compute_dtype` and cast back to fp32 right after: the astype's vjp
+    rounds the cotangent to bf16, keeping every transposed conv dtype-consistent.
+    The MXU accumulates bf16 products in fp32 internally either way; the cost is
+    one bf16 rounding of each conv result. Returns (x, kernel, preferred)."""
+    if compute_dtype is None:
+        return x, kernel, jnp.float32
+    return x.astype(compute_dtype), kernel.astype(compute_dtype), None
+
+
+def _conv_transpose(x, kernel, stride=1, padding=0, preferred=jnp.float32):
     """kernel layout (k, out, in) — torch ConvTranspose1d semantics."""
     k = kernel.shape[0]
     kern = jnp.swapaxes(jnp.flip(kernel, axis=0), 1, 2)  # (k, in, out) for the dilated conv
@@ -39,7 +55,7 @@ def _conv_transpose(x, kernel, stride=1, padding=0):
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
 
 
@@ -103,7 +119,8 @@ def fold_conv_kernel(w: jnp.ndarray, fold: int):
     return wp, (-mmin, kp - 1 + mmin)
 
 
-def polyphase_dilated_conv(x, kernel, *, dilation: int, fold: int = 1):
+def polyphase_dilated_conv(x, kernel, *, dilation: int, fold: int = 1,
+                           preferred=jnp.float32):
     """'same' dilation-d conv as d independent DENSE convs on phase-subsampled
     streams (y[t] for t ≡ p (mod d) only reads x at times ≡ p (mod d)), each stream
     optionally time-folded (fold_conv_kernel) to fill the MXU's 128 lanes.
@@ -116,6 +133,7 @@ def polyphase_dilated_conv(x, kernel, *, dilation: int, fold: int = 1):
 
     x: (B, T, C) with T % dilation == 0; kernel (k, C, C2), odd k, stride 1.
     Exact: phase-domain zero padding maps 1:1 onto the original 'same' padding.
+    `preferred` follows the caller's mixed-precision mode (see _mp_cast).
     """
     B, T, C = x.shape
     d, k, C2 = dilation, kernel.shape[0], kernel.shape[2]
@@ -128,9 +146,9 @@ def polyphase_dilated_conv(x, kernel, *, dilation: int, fold: int = 1):
         y = jax.lax.conv_general_dilated(
             xp.reshape(B * d, Q // fold, fold * C), wp, (1,), [(lo, hi)],
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32).reshape(B * d, Q, C2)
+            preferred_element_type=preferred).reshape(B * d, Q, C2)
     else:
-        y = _conv(xp, kernel, padding=(k - 1) // 2)
+        y = _conv(xp, kernel, padding=(k - 1) // 2, preferred=preferred)
     return y.reshape(B, d, Q, C2).transpose(0, 2, 1, 3).reshape(B, T, C2)
 
 
@@ -177,15 +195,14 @@ class WNConv1d(nn.Module):
         g = self.param("g", lambda key, s: jnp.linalg.norm(
             v.reshape(-1, self.features), axis=0), (self.features,))
         kernel = _wn_kernel(v, g, axis=2)
-        if self.compute_dtype is not None:
-            x = x.astype(self.compute_dtype)
-            kernel = kernel.astype(self.compute_dtype)
+        x, kernel, preferred = _mp_cast(x, kernel, self.compute_dtype)
         F = self.fold_time
         if self.polyphase and self.dilation > 1 and self.stride == 1 \
                 and self.groups == 1 and self.kernel_size % 2 == 1 \
                 and x.shape[1] % self.dilation == 0 \
                 and pad == self.dilation * (self.kernel_size - 1) // 2:
-            y = polyphase_dilated_conv(x, kernel, dilation=self.dilation, fold=F)
+            y = polyphase_dilated_conv(x, kernel, dilation=self.dilation, fold=F,
+                                       preferred=preferred)
         elif F > 1 and self.dilation == 1 and self.stride == 1 and self.groups == 1 \
                 and x.shape[1] % F == 0 and self.kernel_size % 2 == 1 \
                 and pad == (self.kernel_size - 1) // 2:
@@ -194,9 +211,11 @@ class WNConv1d(nn.Module):
             xf = x.reshape(B, T // F, F * C)
             y = jax.lax.conv_general_dilated(
                 xf, wp, (1,), [(pl_, pr)], dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=jnp.float32).reshape(B, T, self.features)
+                preferred_element_type=preferred).reshape(B, T, self.features)
         else:
-            y = _conv(x, kernel, self.stride, pad, self.dilation, self.groups)
+            y = _conv(x, kernel, self.stride, pad, self.dilation, self.groups,
+                      preferred=preferred)
+        y = y.astype(jnp.float32)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -242,10 +261,9 @@ class WNConvTranspose1d(nn.Module):
         v = self.param("v", _hifigan_v_init, shape)
         g = self.param("g", lambda key, s: jnp.sqrt(jnp.sum(v * v, axis=(0, 1))), (in_ch,))
         kernel = _wn_kernel(v, g, axis=2)  # norm per input channel (torch dim=0 on (in,out,k))
-        if self.compute_dtype is not None:
-            x = x.astype(self.compute_dtype)
-            kernel = kernel.astype(self.compute_dtype)
-        y = _conv_transpose(x, kernel, self.stride, self.padding)
+        x, kernel, preferred = _mp_cast(x, kernel, self.compute_dtype)
+        y = _conv_transpose(x, kernel, self.stride, self.padding,
+                            preferred=preferred).astype(jnp.float32)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -259,6 +277,7 @@ class WNConv2d(nn.Module):
     strides: tuple[int, int] = (1, 1)
     padding: tuple[int, int] = (0, 0)
     use_bias: bool = True
+    compute_dtype: Any = None  # bf16 MXU path; weight-norm + bias stay fp32
 
     @nn.compact
     def __call__(self, x):
@@ -268,13 +287,14 @@ class WNConv2d(nn.Module):
         g = self.param("g", lambda key, s: jnp.linalg.norm(
             v.reshape(-1, self.features), axis=0), (self.features,))
         kernel = _wn_kernel(v, g, axis=3)
+        x, kernel, preferred = _mp_cast(x, kernel, self.compute_dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=self.strides,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=preferred,
+        ).astype(jnp.float32)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -290,6 +310,7 @@ class SNConv1d(nn.Module):
     padding: int | None = None
     groups: int = 1
     use_bias: bool = True
+    compute_dtype: Any = None  # bf16 MXU path; the power iteration stays fp32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
@@ -309,7 +330,9 @@ class SNConv1d(nn.Module):
         if update_stats and not self.is_initializing():
             u_var.value = jax.lax.stop_gradient(u_new)
         sigma = jnp.dot(jax.lax.stop_gradient(u_new), wmat @ jax.lax.stop_gradient(v))
-        y = _conv(x, w / sigma, self.stride, pad, 1, self.groups)
+        x, wn, preferred = _mp_cast(x, w / sigma, self.compute_dtype)
+        y = _conv(x, wn, self.stride, pad, 1, self.groups,
+                  preferred=preferred).astype(jnp.float32)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
