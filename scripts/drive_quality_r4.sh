@@ -6,7 +6,9 @@
 # workflow (/root/reference/TRAINING.md; cube/io_utils/runtime.py:83-109).
 #
 # Usage: bash scripts/drive_quality_r4.sh [ROOT=/tmp/drive_r4]
-# Env: SKIP_PREP=1 reuses $ROOT/processed, SKIP_PHON=1 reuses $ROOT/models/phonemizer.*
+# Env: SKIP_PREP=1 reuses $ROOT/processed, SKIP_PHON=1 reuses $ROOT/models/phonemizer.*,
+#      SKIP_MAIN=1 reuses $ROOT/models/cubegan.* AND the devset synthesis already in
+#      generated_files/free (resume after an interrupted stage 6+)
 set -euo pipefail
 ROOT=${1:-/tmp/drive_r4}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
@@ -50,7 +52,7 @@ if [ -z "${SKIP_PREP:-}" ]; then
 else
     stamp "1-3/8 skipped (SKIP_PREP=1, reusing $ROOT/processed)"
     mkdir -p "$ROOT"/{models,export,assembled}
-    rm -rf generated_files/free
+    [ -z "${SKIP_MAIN:-}" ] && rm -rf generated_files/free
 fi
 # SKIP_PHON=1 reuses $ROOT/models/phonemizer.* from a previous (partial) run
 if [ -z "${SKIP_PHON:-}" ]; then
@@ -71,6 +73,9 @@ else
     stamp "4/8 skipped (SKIP_PHON=1, reusing $ROOT/models/phonemizer.*)"
 fi
 
+if [ -n "${SKIP_MAIN:-}" ]; then
+    stamp "5+5b/8 skipped (SKIP_MAIN=1, reusing $ROOT/models/cubegan.* + generated_files/free)"
+else
 stamp "5/8 main Cubegan run ($MAIN_STEPS steps${FUSED_FLAG:+, fused-tail training})"
 python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan" \
@@ -94,6 +99,7 @@ synthesize_from_checkpoint(
     dev_folder=os.path.join(root, "processed/dev"),
     out_folder="generated_files/free/", limit=-1)
 EOF
+fi
 
 stamp "6/8 HF-conditioned Cubegan run ($HF_STEPS steps, lm=hf:$ROOT/demo_lm)"
 python -u scripts/train_cubegan.py \
