@@ -10,6 +10,20 @@ from argparse import ArgumentParser
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _force_cpu_backend():
+    """Packaging is CPU work: pin jax to CPU so export never occupies (or waits on)
+    the TPU — on the axon relay every eager op costs ~0.4 s and the phonemizer
+    template init below is hundreds of them. The env var alone loses to the axon
+    plugin; the config update must run before the first backend init."""
+    import jax
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized (library use, e.g. tests): keep it
+
+
 def _validate_phonemizer(base: str, weights_ext: str):
     """Fail fast if the packaged weights don't deserialize into the aligned Phonemizer
     template TTSCube will instantiate (e.g. an M2M checkpoint from train_phonemizer's
@@ -40,6 +54,8 @@ def _validate_phonemizer(base: str, weights_ext: str):
 
 def _export(args):
     import yaml
+
+    _force_cpu_backend()
 
     from flax import serialization
 
@@ -86,6 +102,17 @@ def _export(args):
         if wordvec_npz is not None:
             sys.stdout.write(f"\t{wordvec_npz}\n")
             tar.add(wordvec_npz, "cubegan.wordvec.npz")
+        if conditioning and conditioning.startswith("hf:"):
+            # package the HF tokenizer files so the download is portable — the
+            # yaml's conditioning spec may name a training-box-local path. The LM
+            # encoder weights already travel inside cubegan.model (the "hf" subtree);
+            # only the tokenizer/config files are needed at inference.
+            hf_dir = conditioning.split(":", 1)[1]
+            for fn in sorted(os.listdir(hf_dir)):
+                if fn.endswith((".bin", ".safetensors", ".h5", ".msgpack", ".ot")):
+                    continue
+                sys.stdout.write(f"\t{os.path.join(hf_dir, fn)}\n")
+                tar.add(os.path.join(hf_dir, fn), f"cubegan.hf/{fn}")
         for ext, out in [(args.phonemizer_weights, "phonemizer.model"),
                          ("encodings", "phonemizer.encodings")]:
             src = f"{args.input_phonemizer}.{ext}"

@@ -189,3 +189,69 @@ def test_warmup_precompiles_real_call_shapes(artifacts):
     a2 = cube("hello world again", speaker="neb")  # same 32-phone collate bucket
     assert len(a1) > 0 and len(a2) > 0
     assert fn._cache_size() == 1, "real call retraced despite warmup"
+
+
+def test_export_packages_hf_tokenizer(artifacts, tmp_path):
+    """HF-conditioned exports must be portable: the tokenizer files travel in the
+    tar as cubegan.hf/* (weights stay in cubegan.model's "hf" subtree), and
+    HFCondFrontend.from_packaged prefers the packaged copy over the (possibly
+    training-box-local) path in the yaml's conditioning spec."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordPiece
+    from tokenizers.pre_tokenizers import Metaspace
+    from transformers import PreTrainedTokenizerFast
+
+    from scripts.export_model import _export
+    from ttscube_tpu.utils.hfcond import HFCondFrontend
+
+    # minimal local WordPiece tokenizer directory (no hub access in tests)
+    tok_dir = tmp_path / "demo_lm"
+    vocab = ["[PAD]", "[UNK]", "▁hel", "##lo", "▁world", "▁."]
+    tok = Tokenizer(WordPiece({w: i for i, w in enumerate(vocab)},
+                              unk_token="[UNK]", max_input_chars_per_word=100))
+    tok.pre_tokenizer = Metaspace()
+    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="[UNK]",
+                            pad_token="[PAD]").save_pretrained(str(tok_dir))
+    (tok_dir / "pytorch_model.bin").write_bytes(b"weights-not-needed")
+
+    # hf-conditioned variant of the module fixture's cubegan artifacts
+    hf_base = tmp_path / "hfmodel"
+    os.makedirs(str(hf_base))
+    for ext in ("encodings", "last"):
+        data = open(str(artifacts / f"cubegan.{ext}"), "rb").read()
+        open(str(hf_base / f"cubegan.{ext}"), "wb").write(data)
+    yaml.dump({"sample_rate": 24000, "hop_size": 240,
+               "conditioning": f"hf:{tok_dir}", "hifigan": TINY_HIFI_YAML},
+              open(str(hf_base / "cubegan.yaml"), "w"))
+
+    class Args:
+        input_model = str(hf_base / "cubegan")
+        input_phonemizer = str(artifacts / "phonemizer")
+        phonemizer_weights = "sacc.best"
+        output_model = str(tmp_path / "export" / "hfmodel")
+        version = "1.0.0"
+        language = "en"
+        description = "test"
+
+    os.makedirs(str(tmp_path / "export"), exist_ok=True)
+    _export(Args)
+    volumes = sorted(p for p in os.listdir(str(tmp_path / "export"))
+                     if p.startswith("hfmodel-"))
+    target = tmp_path / "reassembled_hf"
+    os.makedirs(str(target))
+    combined = str(target / "model.tar.gz")
+    with open(combined, "wb") as out:
+        for v in volumes:
+            out.write(open(str(tmp_path / "export" / v), "rb").read())
+    with tarfile.open(combined, "r:gz") as tar:
+        tar.extractall(str(target))
+    assert os.path.exists(str(target / "cubegan.hf" / "tokenizer.json"))
+    # LM weights must NOT be duplicated into the tokenizer package
+    assert not os.path.exists(str(target / "cubegan.hf" / "pytorch_model.bin"))
+
+    # the packaged copy must win even when the original tokenizer dir is gone
+    import shutil
+    shutil.rmtree(str(tok_dir))
+    fe = HFCondFrontend.from_packaged(str(target / "cubegan"))
+    out = fe({"words": ["hello", " ", "world"]})
+    assert out["words_hf"]["tok_ids"], "packaged tokenizer produced no tokens"

@@ -21,6 +21,12 @@ class HFCondFrontend:
 
     @classmethod
     def from_packaged(cls, model_path: str) -> "HFCondFrontend":
+        # exports since r4 carry the tokenizer files next to the model as
+        # '<model>.hf/' (scripts/export_model.py) — prefer that, it makes the
+        # download portable across machines
+        packaged = model_path + ".hf"
+        if os.path.isdir(packaged):
+            return cls(packaged)
         conf = yaml.safe_load(open(model_path + ".yaml"))
         spec = conf.get("conditioning") or ""
         if ":" not in spec:
