@@ -92,3 +92,42 @@ def test_phonemizer_overfits_two_examples():
 
     metrics = jax.device_get(phonemizer_val_step(model, state, batch))
     assert float(metrics["pacc"]) > 0.9
+
+def test_synthesize_dataset_free_and_forced_trim(tmp_path):
+    """cubegan_synthesize_dataset must trim the bucket-padded program output back to
+    real audio in BOTH modes: free -> predicted frames x hop, forced -> the example's
+    n_frames x hop. Untrimmed forced padding inflated the r4 quality-drive
+    teacher-forced MCD diagnostics by several dB."""
+    from ttscube_tpu.train.runtime import cubegan_synthesize_dataset
+    from ttscube_tpu.utils.wavio import read_wav
+
+    make_corpus(tmp_path / "corpus", n=2)
+    ds = CubeganDataset(str(tmp_path / "corpus"))
+    enc = CubeganEncodings()
+    enc.compute(ds)
+    model = tiny_model()
+    # bucket_frames far above the real frame counts so padding is observable
+    collate = CubeganCollate(enc, min_frames=96, bucket_frames=96, bucket_phones=16)
+
+    example = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    params = {k: v for k, v in jax.device_get(state.params).items()
+              if k in ("lang", "gen")}
+    hop = model.config.hop_size
+
+    out_forced = tmp_path / "forced"
+    cubegan_synthesize_dataset(model, params, ds, collate, str(out_forced),
+                               free=False, max_frames=96)
+    for i in range(2):
+        wav, sr = read_wav(str(out_forced / f"{ds[i]['meta']['id']}.wav"))
+        n_frames = int(collate([ds[i]])["n_frames"][0])
+        assert n_frames * hop < 96 * hop, "fixture must actually pad"
+        assert len(wav) == n_frames * hop, (len(wav), n_frames * hop)
+
+    out_free = tmp_path / "free"
+    cubegan_synthesize_dataset(model, params, ds, collate, str(out_free),
+                               free=True, max_frames=96)
+    for i in range(2):
+        wav, sr = read_wav(str(out_free / f"{ds[i]['meta']['id']}.wav"))
+        assert len(wav) % hop == 0
+        assert 0 < len(wav) <= 96 * hop

@@ -173,6 +173,15 @@ def cubegan_synthesize_dataset(model, params, dataset, collate, output_path: str
             audio = audio[:, : int(n_frames[0]) * model.config.hop_size]
         else:
             audio = jax.device_get(infer_forced(params, batch))
+            # the collate pads the frame axis to its bucket; trim the synthesized
+            # tail back to the example's real frames (the free path above already
+            # trims to the *predicted* frame count) — untrimmed padding audio was
+            # inflating forced-synthesis MCD by several dB
+            if "n_frames" in batch:
+                audio = audio[:, : int(batch["n_frames"][0]) * model.config.hop_size]
+            elif "y_frame_mask" in batch:
+                nf = int(np.asarray(batch["y_frame_mask"])[0].sum())
+                audio = audio[:, : nf * model.config.hop_size]
         audio = np.asarray(audio)[0]
         write_wav(os.path.join(output_path, f"{example['meta']['id']}.wav"),
                   audio, model.config.sample_rate)
