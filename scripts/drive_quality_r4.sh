@@ -21,6 +21,13 @@ SENTENCES=${SENTENCES:-220}
 MAIN_STEPS=${MAIN_STEPS:-5000}
 HF_STEPS=${HF_STEPS:-1000}
 PHON_STEPS=${PHON_STEPS:-1500}
+# trend baseline for the metric eval — point at the previous drive's metrics json
+# (e.g. artifacts/quality_drive_r4/quality_metrics_5k.json for an extended run)
+BASELINE=${BASELINE:-artifacts/quality_drive_r2/quality_metrics.json}
+# devset-synthesis cadence + .opt.last save cadence during the main run (each opt
+# save fetches the full opt tree through the relay — raise for long runs)
+EPOCH_GEN=${EPOCH_GEN:-40}
+OPT_SAVE=${OPT_SAVE:-25}
 # Fused-tail training defaults OFF for drives: the custom-VJP program at the
 # trainer's B=16 needs a long remote compile (r3 measured >30 min before the
 # compile-cost fix; quality drives don't need the kernel). Opt in with
@@ -81,7 +88,7 @@ python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan" \
     --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
     --max-steps "$MAIN_STEPS" $FUSED_FLAG \
-    --epoch-generation 40 --generation-limit -1 --opt-save-every 25 \
+    --epoch-generation "$EPOCH_GEN" --generation-limit -1 --opt-save-every "$OPT_SAVE" \
     > "$ROOT/train_main.log" 2>&1
 tail -3 "$ROOT/train_main.log"
 
@@ -159,12 +166,12 @@ done
 # for an offline metric)
 JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
     --dir "$OUT" \
-    --baseline artifacts/quality_drive_r2/quality_metrics.json || true
+    --baseline "$BASELINE" || true
 
 # artifact README: drive config, final losses, metric trend vs the r2 drive
-python -u - "$OUT" "$SPEAKERS" "$SENTENCES" "$MAIN_STEPS" "$HF_STEPS" <<'EOF'
+python -u - "$OUT" "$SPEAKERS" "$SENTENCES" "$MAIN_STEPS" "$HF_STEPS" "$BASELINE" <<'EOF'
 import json, sys, os, csv
-out, spk, sent, main_steps, hf_steps = sys.argv[1:6]
+out, spk, sent, main_steps, hf_steps, baseline = sys.argv[1:7]
 lines = [
     "# Quality drive — round 4",
     "",
@@ -200,9 +207,11 @@ if os.path.exists(q):
             lines.append(f"- {k}: {m[k]}")
     t = m.get("trend_vs_baseline", {})
     if t.get("metrics"):
-        lines += ["", f"## Trend vs r2 drive ({t.get('baseline_n_pairs')} pairs; r2 "
-                      "baseline recomputed on CPU fp32 — the originally committed "
-                      "21.3 dB was an axon-backend artifact, see CLAUDE.md)", ""]
+        lines += ["", f"## Trend vs baseline `{baseline}` "
+                      f"({t.get('baseline_n_pairs')} pairs)", ""]
+        if os.path.exists(os.path.join(out, "README_5k.md")):
+            lines += ["(Previous 5k-step drive + metric-scale calibration: "
+                      "README_5k.md — chance floor 49.5 dB, oracle floor 1.4 dB.)", ""]
         for k, d in t["metrics"].items():
             arrow = "improved" if d["delta"] < 0 else "regressed"
             lines.append(f"- {k}: {d['baseline']} -> {d['now']} ({d['delta']:+.3f}, {arrow})")
