@@ -89,6 +89,9 @@ def main(args):
             (f"polyphase {pc} bf16-storage", dict(fuse_channels=(),
                                                   storage_dtype=jnp.bfloat16,
                                                   polyphase_channels=pc))]
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",")]
+        variants = [(n, kw) for n, kw in variants if any(p in n for p in pats)]
     n_stages = len(cfg.hifigan.upsample_rates)
     for name, kw in variants:
         gen = lambda p, c: generator_apply_fused(p["gen"], c, cfg.hifigan, **kw)
@@ -113,6 +116,8 @@ def main(args):
         print(line, flush=True)
 
     # -- e2e ----------------------------------------------------------------------
+    if not args.e2e:
+        return
     for name, hcfg in [
             ("plain fp32", HifiganConfig(fused_tail=False)),
             ("serving default", HifiganConfig(fused_tail=True,
@@ -139,4 +144,10 @@ if __name__ == "__main__":
     ap.add_argument("--polyphase", default=None,
                     help="comma-separated stage widths to ALSO measure with "
                          "polyphase-decomposed dilated convs (e.g. '32,64')")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings — measure only generator "
+                         "variants whose name matches (keeps the relay compile "
+                         "count down when another job shares the TPU)")
+    ap.add_argument("--no-e2e", dest="e2e", action="store_false",
+                    help="skip the e2e Cubegan.infer section")
     main(ap.parse_args())
