@@ -55,7 +55,14 @@ class HifiganConfig:
     # zero FLOP inflation: ops/conv.polyphase_dilated_conv — the d-phase transposes
     # convert every dilated conv to dense, and dense convs fold into full-lane
     # matmuls). The VERDICT-r3-item-5 experiment for the B=128 tail stages (C=64/32
-    # sit at 33.9/56.7 ms vs a ~21 ms FLOP floor); numbers in CLAUDE.md.
+    # sit at 33.9/56.7 ms vs a ~21 ms FLOP floor). MEASURED NEGATIVE on v5e at
+    # B=128/F=512 bf16-storage (profile_synthesis --polyphase 32,64): stage2/C=64
+    # 33.8 -> 62.2 ms, stage3/C=32 56.5 -> 118.2 ms (~1.9x SLOWER) — splitting time
+    # into d phase-streams fragments the row axis into short segments that waste MXU
+    # tiling and add transpose traffic, costing more than the zero-filled FLOPs save.
+    # With fold densification also losing there (fuse_channels note below), ~56 ms at
+    # C=32 is the measured wall for this batch. Keep () — the op stays for narrow-
+    # batch shapes where loop fragmentation, not MXU occupancy, dominates.
     polyphase_channels: tuple[int, ...] = ()
     # inference: run the generator tail through fused pallas kernels
     # (ops/pallas_resblock.py) — the final stage (upsample + MRF + conv_post + tanh)
