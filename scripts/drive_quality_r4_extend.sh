@@ -7,6 +7,9 @@
 # drive are left as-is.
 #
 # Usage: bash scripts/drive_quality_r4_extend.sh [ROOT=/tmp/drive_r3]
+# Env: SKIP_TRAIN=1 skips stage 1 and packages/evaluates whatever checkpoint is in
+#      $ROOT/models/cubegan.last already (e.g. after a deadline-killed run — the
+#      trainer saves .last on the opt-save cadence, so the tail is salvageable).
 set -euo pipefail
 ROOT=${1:-/tmp/drive_r3}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
@@ -17,6 +20,7 @@ MAIN_STEPS=${MAIN_STEPS:-30000}
 
 stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
+if [ -z "${SKIP_TRAIN:-}" ]; then
 stamp "1/5 resume main Cubegan run -> $MAIN_STEPS steps"
 python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan" \
@@ -25,6 +29,9 @@ python -u scripts/train_cubegan.py \
     --epoch-generation 0 --opt-save-every 25 \
     >> "$ROOT/train_main.log" 2>&1
 tail -3 "$ROOT/train_main.log"
+else
+stamp "1/5 skipped (SKIP_TRAIN=1, packaging $ROOT/models/cubegan.last as-is)"
+fi
 
 stamp "2/5 final devset synthesis (free, all dev utterances)"
 rm -rf generated_files/free
@@ -64,8 +71,9 @@ for i, t in enumerate(texts):
 EOF
 
 stamp "4/5 refresh artifacts ($OUT)"
-# keep the 5k-step metrics as the trend baseline for the re-eval
-cp "$OUT/quality_metrics.json" "$OUT/quality_metrics_5k.json"
+# keep the 5k-step metrics as the trend baseline for the re-eval (don't clobber the
+# snapshot when re-running the extension — quality_metrics.json is now the extended one)
+[ -e "$OUT/quality_metrics_5k.json" ] || cp "$OUT/quality_metrics.json" "$OUT/quality_metrics_5k.json"
 python -u scripts/collect_drive_artifacts.py --log "$ROOT/train_main.log" \
     --out "$OUT" --prefix main_
 cp "$ROOT"/api_cubegan_?.wav "$OUT"/ 2>/dev/null || true
