@@ -152,7 +152,8 @@ def _train(args):
           max_steps=args.max_steps, resume=args.resume,
           on_epoch_end=on_epoch_end if args.epoch_generation > 0 else None,
           epoch_generation=max(args.epoch_generation, 1),
-          opt_save_every=args.opt_save_every)
+          opt_save_every=args.opt_save_every,
+          defer_best_saves=args.defer_best_saves)
 
 
 if __name__ == "__main__":
@@ -186,5 +187,12 @@ if __name__ == "__main__":
                         choices=["float32", "bfloat16"],
                         help="generator+discriminator conv compute dtype (bfloat16 = "
                              "MXU bf16 with fp32 accumulation; params/grads stay fp32)")
+    parser.add_argument("--no-defer-best-saves", dest="defer_best_saves",
+                        action="store_false", default=True,
+                        help="persist .best immediately on every improving epoch "
+                        "(default: keep improving params device-side and persist on "
+                        "the --opt-save-every cadence — the per-improvement 392 MB "
+                        "relay fetch otherwise dominates short epochs, measured "
+                        "~46 s/epoch vs ~11 s in the r4 quality drive)")
     parser.add_argument("--resume", dest="resume", action="store_true")
     _train(parser.parse_args())

@@ -131,3 +131,65 @@ def test_synthesize_dataset_free_and_forced_trim(tmp_path):
         wav, sr = read_wav(str(out_free / f"{ds[i]['meta']['id']}.wav"))
         assert len(wav) % hop == 0
         assert 0 < len(wav) <= 96 * hop
+
+
+def test_bestkeeper_deferred_best_saves(tmp_path):
+    """defer_best=True keeps improving params as a device-side reference (zero relay
+    fetches) and persists `.best` on the next cadence save — the r4 quality drive
+    measured per-improvement 392 MB fetches dominating short epochs (~46 s vs ~11 s).
+    Reference save contract: PrintAndSaveCallback, train_cubegan.py:31-77."""
+    from collections import namedtuple
+
+    from ttscube_tpu.utils.checkpoint import BestKeeper, load_params
+
+    State = namedtuple("State", ["params", "step"])
+
+    def mk(v):
+        return State(params={"w": jnp.full((4,), float(v))}, step=jnp.asarray(0))
+
+    base = str(tmp_path / "m" / "cubegan")
+    keeper = BestKeeper(base, "loss")
+
+    # improving epoch, deferred: nothing hits disk
+    assert keeper.update(1.0, mk(1), save_opt=False, save_last=False, defer_best=True)
+    assert not os.path.exists(base + ".best") and not os.path.exists(base + ".last")
+    # non-improving epoch: still nothing
+    assert not keeper.update(2.0, mk(2), save_opt=False, save_last=False,
+                             defer_best=True)
+    assert not os.path.exists(base + ".best")
+    # cadence epoch: pending best (epoch-1 params) flushed, .last is current params
+    assert not keeper.update(3.0, mk(3), save_opt=True, save_last=True,
+                             defer_best=True)
+    tpl = {"w": np.zeros((4,), np.float32)}
+    np.testing.assert_array_equal(load_params(base + ".best", tpl)["w"],
+                                  np.full((4,), 1.0, np.float32))
+    np.testing.assert_array_equal(load_params(base + ".last", tpl)["w"],
+                                  np.full((4,), 3.0, np.float32))
+    assert os.path.exists(base + ".opt.last")
+
+    # improvement landing ON a cadence epoch reuses the single fetch: .best == .last
+    keeper2 = BestKeeper(str(tmp_path / "m" / "k2"), "loss")
+    assert keeper2.update(0.5, mk(5), save_opt=True, save_last=True, defer_best=True)
+    np.testing.assert_array_equal(
+        load_params(str(tmp_path / "m" / "k2") + ".best", tpl)["w"],
+        np.full((4,), 5.0, np.float32))
+    np.testing.assert_array_equal(
+        load_params(str(tmp_path / "m" / "k2") + ".last", tpl)["w"],
+        np.full((4,), 5.0, np.float32))
+
+    # defer_best=False keeps the legacy immediate-save behavior
+    keeper3 = BestKeeper(str(tmp_path / "m" / "k3"), "loss")
+    assert keeper3.update(0.1, mk(7), save_opt=False, save_last=False)
+    np.testing.assert_array_equal(
+        load_params(str(tmp_path / "m" / "k3") + ".best", tpl)["w"],
+        np.full((4,), 7.0, np.float32))
+
+    # a newer improvement on a persisting epoch must beat an older pending best
+    # (the pending ref is stale the moment a better epoch lands)
+    keeper4 = BestKeeper(str(tmp_path / "m" / "k4"), "loss")
+    assert keeper4.update(1.0, mk(1), save_opt=False, save_last=False,
+                          defer_best=True)
+    assert keeper4.update(0.5, mk(9), save_opt=True, save_last=True)
+    np.testing.assert_array_equal(
+        load_params(str(tmp_path / "m" / "k4") + ".best", tpl)["w"],
+        np.full((4,), 9.0, np.float32))

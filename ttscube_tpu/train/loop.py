@@ -41,6 +41,9 @@ def train(
     epoch_generation: int = 10,
     opt_save_every: int = 1,   # epochs between full-state (.opt.last) saves — fetching
     # ~GB of optimizer state through the TPU relay costs ~1 min; raise on tiny epochs
+    defer_best_saves: bool = False,   # keep improving params device-side and persist
+    # `.best` only on the opt_save_every cadence — on relay-attached TPUs the
+    # per-improvement param fetch otherwise dominates short epochs (see BestKeeper)
 ):
     import jax.numpy as jnp
 
@@ -99,15 +102,22 @@ def train(
                          " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())) + "\n")
         # .last saves follow the .opt.last cadence (each fetches ~100s of MB through
         # the TPU relay); improvement epochs and the terminal epoch always save
-        done = max_steps != -1 and global_step >= max_steps
+        # terminal epoch for EITHER termination mode — max_steps or max_epochs —
+        # must persist everything (incl. a deferred pending best)
+        done = ((max_steps != -1 and global_step >= max_steps)
+                or (max_epochs != -1 and epoch >= max_epochs - 1))
         cadence = epoch % max(opt_save_every, 1) == 0
         improved = keeper.update(avg[selection_metric], state,
                                  save_opt=cadence or done,
-                                 save_last=cadence or done)
+                                 save_last=cadence or done,
+                                 defer_best=defer_best_saves and not done)
+        saved_now = cadence or done or (improved and not defer_best_saves)
         sys.stdout.write(f"\tStored {output_base}.last" +
                          (f" + .best ({selection_metric}={avg[selection_metric]:.4f})\n"
                           if improved else "\n")
-                         if (improved or cadence or done) else "\t(no save this epoch)\n")
+                         if saved_now else
+                         ("\t(best deferred to next cadence save)\n" if improved
+                          else "\t(no save this epoch)\n"))
         sys.stdout.flush()
 
         if on_epoch_end is not None and epoch % epoch_generation == 0:

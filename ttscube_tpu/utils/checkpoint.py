@@ -76,21 +76,38 @@ class BestKeeper:
         self.base = base
         self.metric_name = metric_name
         self.best = float("inf")
+        self._pending = None  # device-side params of an unpersisted best epoch
         os.makedirs(os.path.dirname(os.path.abspath(base)), exist_ok=True)
 
     def update(self, value: float, state, save_opt: bool = True,
-               save_last: bool = True) -> bool:
+               save_last: bool = True, defer_best: bool = False) -> bool:
         """`save_last=False` skips the `.last` write on non-improving epochs — each
         save fetches the full param tree through the TPU relay (~20 s for the 392 MB
-        Cubegan tree), which dominates short epochs. `.best` is always written on
-        improvement, and params are fetched from the device only once per call."""
+        Cubegan tree), which dominates short epochs.
+
+        `defer_best=True` extends that to improvement epochs: instead of fetching,
+        keep a device-side *reference* to the improving params (jax arrays are
+        immutable, so this is free — it just pins one extra param tree in HBM) and
+        persist it on the next cadence/terminal save. Without it the r4 quality
+        drive measured ~46 s/epoch vs ~11 s compute: early training improves nearly
+        every 41-step epoch, so per-improvement relay fetches dominated wall time."""
         improved = value < self.best
-        if not (improved or save_last or save_opt):
-            return improved
-        host_params = jax.device_get(state.params)
         if improved:
             self.best = value
+            # this epoch's params are now the best — any older pending ref is stale
+            self._pending = state.params if defer_best else None
+        persist_now = save_last or save_opt or (improved and not defer_best)
+        if not persist_now:
+            return improved
+        host_params = jax.device_get(state.params)
+        if improved and not defer_best:
             save_params(self.base + ".best", host_params)
+        if self._pending is not None:
+            # the pending best may be this very epoch's params — reuse the fetch
+            best_host = (host_params if self._pending is state.params
+                         else jax.device_get(self._pending))
+            save_params(self.base + ".best", best_host)
+            self._pending = None
         if save_last or improved:
             save_params(self.base + ".last", host_params)
         if save_opt:
