@@ -193,3 +193,26 @@ def test_bestkeeper_deferred_best_saves(tmp_path):
     np.testing.assert_array_equal(
         load_params(str(tmp_path / "m" / "k4") + ".best", tpl)["w"],
         np.full((4,), 9.0, np.float32))
+
+
+def test_resume_falls_back_on_truncated_opt_checkpoint(tmp_path):
+    """A kill mid-.opt.last-write (deadline-stopped drive) leaves a 0-byte file;
+    resume must fall back to weights-only from `.last`, not crash or silently
+    restart from scratch."""
+    import pytest
+
+    from ttscube_tpu.utils.checkpoint import (BestKeeper, load_params,
+                                              load_train_state, save_params)
+
+    base = str(tmp_path / "m" / "cubegan")
+    BestKeeper(base, "loss")  # mkdir
+    params = {"w": jnp.full((4,), 3.0)}
+    save_params(base + ".last", params)
+    open(base + ".opt.last", "wb").close()  # truncated save
+
+    with pytest.raises(ValueError, match="empty"):
+        load_train_state(base + ".opt.last", {"params": params})
+
+    # the trainer's fallback path: load_params on .last still works
+    got = load_params(base + ".last", {"w": np.zeros((4,), np.float32)})
+    np.testing.assert_array_equal(got["w"], np.full((4,), 3.0, np.float32))

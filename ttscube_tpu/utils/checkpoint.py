@@ -37,6 +37,13 @@ def save_train_state(path: str, state):
 def load_train_state(path: str, template):
     with open(path, "rb") as f:
         data = f.read()
+    if not data:
+        # a kill mid-save (e.g. a deadline-stopped drive) leaves a 0-byte .opt.last;
+        # raise the ValueError the trainer's resume path catches → weights-only
+        # fallback from `.last` instead of a crash or a silent from-scratch restart
+        raise ValueError(
+            f"'{path}' is empty (truncated by an interrupted save). Resume weights "
+            "only from '.last' — the optimizer restarts from step 0.")
     try:
         return serialization.from_bytes(template, data)
     except Exception as e:
