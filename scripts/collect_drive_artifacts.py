@@ -24,12 +24,26 @@ KV_RE = re.compile(r"([A-Za-z0-9_]+)=([-+0-9.eE]+)")
 
 
 def parse_log(path):
+    """Parse `step N: k=v ...` lines into rows with monotonic step numbers.
+
+    A weights-only resume restarts the in-log step counter at 0 (train/loop.py:71
+    reads `state.step`, which a cross-round restore does not carry), so an appended
+    log contains several ascending segments. A raw step that does not increase
+    starts a new segment; its steps are offset by the previous segment's last
+    absolute step, keeping curves monotonic across round boundaries.
+    """
     rows = []
+    offset = 0
+    prev_raw = None
     for line in open(path, errors="replace"):
         m = STEP_RE.match(line.strip())
         if not m:
             continue
-        row = {"step": int(m.group(1))}
+        raw = int(m.group(1))
+        if prev_raw is not None and raw <= prev_raw:
+            offset = rows[-1]["step"]
+        prev_raw = raw
+        row = {"step": raw + offset}
         for k, v in KV_RE.findall(m.group(2)):
             try:
                 row[k] = float(v)

@@ -39,6 +39,22 @@ def test_parse_log_step_lines(tmp_path):
     assert rows[1]["lr"] == 9e-05
 
 
+def test_parse_log_restarted_step_counter(tmp_path):
+    # a weights-only resume (cross-round restore) restarts the in-log counter at 0;
+    # the parser must offset each new ascending segment so curves stay monotonic
+    log = tmp_path / "train.log"
+    log.write_text(
+        "step 50: loss_mel=2.0\n"
+        "step 100: loss_mel=1.5\n"
+        "\tepoch 2 (12.0s) val: loss_mel=1.4\n"
+        "step 50: loss_mel=1.3\n"      # resumed run, counter restarted
+        "step 100: loss_mel=1.1\n"
+        "step 50: loss_mel=1.0\n")     # a second resume
+    rows = cda.parse_log(str(log))
+    assert [r["step"] for r in rows] == [50, 100, 150, 200, 250]
+    assert [r["loss_mel"] for r in rows] == [2.0, 1.5, 1.3, 1.1, 1.0]
+
+
 def test_render_curve_writes_png(tmp_path):
     out = tmp_path / "c.png"
     cda.render_curve([0, 10, 20], [2.0, 1.0, 0.5], str(out), title="loss")
