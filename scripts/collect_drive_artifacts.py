@@ -28,9 +28,13 @@ def parse_log(path):
 
     A weights-only resume restarts the in-log step counter at 0 (train/loop.py:71
     reads `state.step`, which a cross-round restore does not carry), so an appended
-    log contains several ascending segments. A raw step that does not increase
-    starts a new segment; its steps are offset by the previous segment's last
-    absolute step, keeping curves monotonic across round boundaries.
+    log contains several ascending segments. Only a restart-shaped drop (the raw
+    counter rewinds past half the previous value) starts a new segment, offset by
+    the previous segment's last absolute step. A SMALL rewind is the other resume
+    path — same-round `--resume` with `.opt.last` intact carries `state.step`, so
+    the trainer replays the steps after the last checkpoint (e.g. ...4050, 4100,
+    kill, resume → 4050 again); those stale overlapping rows are dropped instead of
+    offset, so the step axis never double-counts.
     """
     rows = []
     offset = 0
@@ -41,7 +45,12 @@ def parse_log(path):
             continue
         raw = int(m.group(1))
         if prev_raw is not None and raw <= prev_raw:
-            offset = rows[-1]["step"]
+            if raw <= prev_raw // 2:
+                offset = rows[-1]["step"]
+            else:
+                cutoff = raw + offset
+                while rows and rows[-1]["step"] >= cutoff:
+                    rows.pop()
         prev_raw = raw
         row = {"step": raw + offset}
         for k, v in KV_RE.findall(m.group(2)):

@@ -33,6 +33,11 @@ OPT_SAVE=${OPT_SAVE:-25}
 # compile-cost fix; quality drives don't need the kernel). Opt in with
 # FUSED_FLAG=--fused-tail-train.
 FUSED_FLAG=${FUSED_FLAG-}
+# Training compute dtype (VERDICT r4 item 2): bfloat16 runs generator AND
+# discriminator convs at bf16 (fp32 accumulation, fp32 params/grads) — the B=16
+# step is disc-fmap-HBM-bound, so this is the cheapest real speedup. Grad-parity
+# guard: tests/test_cubegan.py.
+COMPUTE_DTYPE=${COMPUTE_DTYPE:-float32}
 
 stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
@@ -87,7 +92,7 @@ stamp "5/8 main Cubegan run ($MAIN_STEPS steps${FUSED_FLAG:+, fused-tail trainin
 python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan" \
     --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
-    --max-steps "$MAIN_STEPS" $FUSED_FLAG \
+    --max-steps "$MAIN_STEPS" $FUSED_FLAG --compute-dtype "$COMPUTE_DTYPE" \
     --epoch-generation "$EPOCH_GEN" --generation-limit -1 --opt-save-every "$OPT_SAVE" \
     > "$ROOT/train_main.log" 2>&1
 tail -3 "$ROOT/train_main.log"
@@ -113,6 +118,7 @@ python -u scripts/train_cubegan.py \
     --output-base "$ROOT/models/cubegan_hf" \
     --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
     --max-steps "$HF_STEPS" --lm "hf:$ROOT/demo_lm" $FUSED_FLAG \
+    --compute-dtype "$COMPUTE_DTYPE" \
     --epoch-generation 0 --opt-save-every 25 \
     > "$ROOT/train_hf.log" 2>&1
 tail -3 "$ROOT/train_hf.log"

@@ -82,8 +82,12 @@ for f in generated_files/free/*.wav generated_files/free/*.png; do
     [ -e "$f" ] && cp "$f" "$OUT/synth_$(basename "$f")"
 done
 
-stamp "5/5 re-evaluate quality metrics (CPU)"
+stamp "5/5 re-evaluate quality metrics (CPU) + regenerate README"
 JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
     --dir "$OUT" \
     --baseline "$OUT/quality_metrics_5k.json" || true
+# keep the artifact README in sync with the re-evaluated metrics (a stale README
+# from the base drive would misreport the extended run)
+python -u scripts/make_drive_readme.py --dir "$OUT" \
+    --title "${README_TITLE:-Quality drive (extended)}" || true
 stamp "DONE"

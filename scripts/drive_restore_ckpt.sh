@@ -15,19 +15,32 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 SRC=${SRC:-artifacts/drive_ckpt}
-SPEAKERS=${SPEAKERS:-3}
-SENTENCES=${SENTENCES:-220}
 
 stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
 [ -e "$SRC/cubegan.last" ] || { echo "no committed checkpoint in $SRC" >&2; exit 1; }
+# corpus contract: regenerate the exact corpus the committed encodings came from
+# (drive_save_ckpt.sh records it; mismatched phone vocab -> zero durations). Env
+# overrides still win, but only on top of the recorded values.
+if [ -e "$SRC/ckpt_meta.txt" ]; then
+    # shellcheck disable=SC1090
+    . <(sed 's/^/REC_/' "$SRC/ckpt_meta.txt")
+    SPEAKERS=${SPEAKERS:-${REC_SPEAKERS:-3}}
+    SENTENCES=${SENTENCES:-${REC_SENTENCES:-220}}
+    SEED=${SEED:-${REC_SEED:-7}}
+else
+    echo "WARNING: $SRC/ckpt_meta.txt missing — trusting env/default corpus params" >&2
+    SPEAKERS=${SPEAKERS:-3}
+    SENTENCES=${SENTENCES:-220}
+    SEED=${SEED:-7}
+fi
 
 if [ -z "${SKIP_PREP:-}" ]; then
     rm -rf "$ROOT"
     mkdir -p "$ROOT"/{models,export,assembled}
-    stamp "1/3 regenerate seeded corpus ($SPEAKERS x $SENTENCES)"
+    stamp "1/3 regenerate seeded corpus ($SPEAKERS x $SENTENCES, seed $SEED)"
     python -u scripts/make_demo_corpus.py --output "$ROOT/corpus" \
-        --sentences "$SENTENCES" --speakers "$SPEAKERS"
+        --sentences "$SENTENCES" --speakers "$SPEAKERS" --seed "$SEED"
     stamp "2/3 re-import features"
     for k in $(seq 0 $((SPEAKERS - 1))); do
         python -u scripts/import_blizzard_2023.py \

@@ -8,10 +8,22 @@
 # weights-only resume is supported, utils/checkpoint.py fallback).
 #
 # Usage: bash scripts/drive_save_ckpt.sh [ROOT=/tmp/drive_r5] [DEST=artifacts/drive_ckpt]
+# Env: SPEAKERS/SENTENCES/SEED — corpus params recorded into ckpt_meta.txt so
+#      drive_restore_ckpt.sh regenerates the SAME corpus (mismatched vocab ->
+#      zero durations). Defaults match drive_quality_r4.sh / make_demo_corpus.py.
+#
+# Git-history note: the ~390 MB fp32 .last does not delta-compress, so every
+# committed save adds a permanent blob. Overwrite-in-place is the layout; when
+# re-saving within a round, AMEND the previous checkpoint commit
+# (`git commit --amend`) instead of stacking fresh commits, so superseded blobs
+# stay unreachable.
 set -euo pipefail
 ROOT=${1:-/tmp/drive_r5}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 DEST=${2:-$REPO/artifacts/drive_ckpt}
+SPEAKERS=${SPEAKERS:-3}
+SENTENCES=${SENTENCES:-220}
+SEED=${SEED:-7}
 
 mkdir -p "$DEST"
 for f in cubegan.last cubegan.encodings cubegan.yaml; do
@@ -21,6 +33,9 @@ done
 # phonemizer: all small model files (weights + encodings + config)
 cp "$ROOT"/models/phonemizer.* "$DEST/" 2>/dev/null || true
 cp "$ROOT/train_main.log" "$DEST/" 2>/dev/null || true
+# corpus contract: restore must regenerate the exact corpus these encodings came from
+{ echo "SPEAKERS=$SPEAKERS"; echo "SENTENCES=$SENTENCES"; echo "SEED=$SEED"; } \
+    > "$DEST/ckpt_meta.txt"
 # record roughly which step the checkpoint corresponds to: the last "Stored .last"
 # epoch line + the last training-step log line (weights-only resume restarts the
 # in-log step counter at 0, so absolute progress must be summed across round logs)
