@@ -22,6 +22,14 @@ For each devset pair ``orig_<id>.wav`` / ``synth_<id>.wav`` in an artifacts fold
 Writes ``<out>/quality_metrics.json`` and prints a per-pair table; ``--baseline`` adds
 a trend row against a previous drive's json (VERDICT r3 item 6).
 
+Trend protocol (VERDICT r4 weak item 1): deltas between drives only mean something
+when both were evaluated on the same corpus and devset pair list. The committed
+manifest ``artifacts/eval_protocol.json`` pins that contract; this script records the
+evaluated pair list + manifest into the metrics json, warns when the evaluated pairs
+deviate from the manifest, and marks ``trend_vs_baseline.comparable = false`` (with a
+reason) when the baseline's pair list differs from the current one — downstream README
+generation surfaces that flag instead of printing meaningless arrows.
+
 Usage:
     JAX_PLATFORMS=cpu python scripts/eval_drive_quality.py \
         --dir artifacts/quality_drive_r4 \
@@ -186,8 +194,24 @@ def main(args):
         "mean_dur_error_pct": _mean("dur_error_pct"),
         "mean_voiced_ratio_synth": _mean("voiced_ratio_synth"),
     }
+    pair_ids = sorted(r["id"] for r in rows)
+    summary["protocol"] = {"pair_ids": pair_ids}
+    if args.protocol and os.path.exists(args.protocol):
+        manifest = json.load(open(args.protocol))
+        summary["protocol"]["manifest_file"] = args.protocol
+        summary["protocol"]["corpus"] = manifest.get("corpus")
+        want = sorted(manifest.get("pair_ids", []))
+        if want and want != pair_ids:
+            summary["protocol"]["matches_manifest"] = False
+            print(f"WARNING: evaluated pairs deviate from {args.protocol} — "
+                  f"extra={sorted(set(pair_ids) - set(want))} "
+                  f"missing={sorted(set(want) - set(pair_ids))}", file=sys.stderr)
+        else:
+            summary["protocol"]["matches_manifest"] = bool(want)
     if args.baseline and os.path.exists(args.baseline):
         base = json.load(open(args.baseline))
+        base_ids = sorted(p.get("id") for p in base.get("pairs", []))
+        comparable = base_ids == pair_ids
         trend = {}
         for k in ("mean_mcd_dtw_db", "mean_f0_rmse_hz", "mean_vuv_error_pct",
                   "mean_dur_error_pct"):
@@ -197,9 +221,19 @@ def main(args):
         summary["trend_vs_baseline"] = {"baseline_file": args.baseline,
                                         "baseline_n_pairs": base.get("n_pairs",
                                                                      len(base.get("pairs", []))),
+                                        "comparable": comparable,
                                         "metrics": trend}
+        if not comparable:
+            summary["trend_vs_baseline"]["reason"] = (
+                "baseline was evaluated on a different devset pair list — deltas are "
+                "not meaningful (VERDICT r4: r4-vs-r2 compared incomparables)")
+            print(f"WARNING: baseline {args.baseline} pair list differs from this "
+                  f"eval's — trend marked non-comparable", file=sys.stderr)
         for k, t in trend.items():
-            arrow = "improved" if t["delta"] < 0 else "regressed"
+            arrow = ("improved" if t["delta"] < 0
+                     else "flat" if t["delta"] == 0 else "regressed")
+            if not comparable:
+                arrow = "NOT COMPARABLE (different pair list)"
             print(f"trend {k}: {t['baseline']} -> {t['now']} ({t['delta']:+.3f}, {arrow})")
     out = os.path.join(args.dir, "quality_metrics.json")
     with open(out, "w") as f:
@@ -213,4 +247,9 @@ if __name__ == "__main__":
     ap.add_argument("--dir", required=True)
     ap.add_argument("--baseline", default=None,
                     help="previous drive's quality_metrics.json for a trend table")
+    ap.add_argument("--protocol",
+                    default=os.path.join(
+                        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "artifacts", "eval_protocol.json"),
+                    help="pinned corpus/devset manifest (committed); pass '' to skip")
     main(ap.parse_args())

@@ -57,12 +57,19 @@ def build_readme(out, speakers="3", sentences="220", title="Quality drive — ro
         if t.get("metrics"):
             lines += ["", f"## Trend vs baseline `{t.get('baseline_file', '?')}` "
                           f"({t.get('baseline_n_pairs')} pairs)", ""]
+            if t.get("comparable") is False:
+                lines += ["**NOT COMPARABLE**: " + t.get(
+                    "reason", "baseline used a different devset pair list"), ""]
             if os.path.exists(os.path.join(out, "README_5k.md")):
                 lines += ["(Previous 5k-step drive + metric-scale calibration: "
                           "README_5k.md — chance floor 49.5 dB, oracle floor 1.4 dB.)",
                           ""]
             for k, d in t["metrics"].items():
-                arrow = "improved" if d["delta"] < 0 else "regressed"
+                if t.get("comparable") is False:
+                    arrow = "not comparable"
+                else:
+                    arrow = ("improved" if d["delta"] < 0
+                             else "flat" if d["delta"] == 0 else "regressed")
                 lines.append(f"- {k}: {d['baseline']} -> {d['now']} "
                              f"({d['delta']:+.3f}, {arrow})")
     path = os.path.join(out, "README.md")
