@@ -64,6 +64,12 @@ def train_bench(fused: bool = True, B: int = 4, F: int = 500):
     }
     state = create_train_state(model, jax.random.PRNGKey(0), batch)
 
+    # device_timer reduces EVERY leaf of (new_state, metrics), so nothing in the
+    # step is dead code. This is why bench's number is the honest one: r4's
+    # profile_train returned loss_g + one param leaf, XLA DCE'd 58% of the step's
+    # FLOPs (measured via cost_analysis on the tiny test model), and the profiler
+    # read 145.6 ms where this harness read 212.2 ms at the same B=16 shape.
+    # profile_train now reduces all param leaves too — the two agree.
     def step_fn(state, batch, rng_key):
         new_state, metrics = train_step(model, state, batch, rng_key)
         return new_state, metrics

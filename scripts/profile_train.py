@@ -36,6 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(args):
     import jax
+
+    if args.cpu:
+        # the JAX_PLATFORMS env var alone LOSES to the axon plugin (see
+        # .claude/skills/verify/SKILL.md) — a "CPU" smoke run without this config
+        # update lands on the shared TPU relay and can abort a training drive's
+        # in-flight compile (happened in round 5)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -87,14 +94,21 @@ def main(args):
     def f_train_step(state, batch, key):
         with unroll_override(UN):
             new_state, metrics = train_step(model, state, batch, key)
-        # time the param update too, not just metric computation
-        return metrics["loss_g"] + jax.tree.leaves(new_state.params)[0].mean()
+        # Depend on EVERY updated param leaf: a single-leaf dependence lets XLA
+        # dead-code-eliminate the weight grads + optimizer updates of every other
+        # leaf — measured 2.40 vs 5.74 GF on the tiny test model (58% of the step
+        # DCE'd), which is exactly the r4 "145.6 ms profiler vs 212.2 ms bench"
+        # discrepancy (bench's device_timer reduces the full output tree).
+        return metrics["loss_g"] + sum(jnp.mean(l.astype(jnp.float32))
+                                       for l in jax.tree.leaves(new_state.params))
 
     def f_forward(params, batch, key):
         with unroll_override(UN):
             pg = {k: v for k, v in params.items() if k not in ("mpd", "msd")}
             outs, y_w = model.gan_forward(pg, batch, key, TRAIN_FRAMES)
-        return outs[3].mean() + outs[0].mean() + y_w.mean()
+        # reduce every output so no head of the forward is dead code
+        return y_w.mean() + sum(jnp.mean(o.astype(jnp.float32))
+                                for o in jax.tree.leaves(outs))
 
     def f_forward_pullback(params, batch, key):
         with unroll_override(UN):
@@ -160,7 +174,10 @@ def main(args):
         p1 = optax.apply_updates(state.params, d_up)
         g_up, new_g = txs["gtb"].update(grads, state.opt_state["gtb"], p1)
         p2 = optax.apply_updates(p1, g_up)
-        return sum(jnp.mean(l) for l in jax.tree.leaves(p2)[:4])
+        # reduce every updated param AND both new moment trees — a partial
+        # dependence lets XLA skip the unused leaves' update math entirely
+        return sum(jnp.mean(l.astype(jnp.float32))
+                   for l in jax.tree.leaves((p2, new_d, new_g)))
 
     # dur/pitch/vuv proxies for gt phase (shapes as gan_forward returns them)
     with unroll_override(UN):
@@ -230,4 +247,7 @@ if __name__ == "__main__":
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of phase names to run")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (config update, not just env — "
+                         "never touches the TPU relay)")
     main(ap.parse_args())
