@@ -41,6 +41,32 @@ COMPUTE_DTYPE=${COMPUTE_DTYPE:-float32}
 
 stamp() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
+# Run train_cubegan.py with automatic retry: a relay/worker hiccup mid-run
+# (e.g. a killed concurrent compile aborting the worker — happened in r5) must
+# not cost a multi-hour drive. On failure, wait out the worker's ~3-5 min
+# auto-recovery and retry with --resume when a checkpoint exists.
+#   usage: train_with_retry <output-base> <log> [extra train_cubegan args...]
+train_with_retry() {
+    local base=$1 log=$2; shift 2
+    local tries=${MAIN_TRIES:-3} try=0 resume=
+    : > "$log"
+    until python -u scripts/train_cubegan.py --output-base "$base" \
+        --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
+        $resume "$@" >> "$log" 2>&1; do
+        try=$((try+1))
+        if [ "$try" -ge "$tries" ]; then
+            echo "trainer failed $try times — giving up" >&2
+            tail -5 "$log" >&2
+            return 1
+        fi
+        if [ -e "$base.last" ]; then resume=--resume; else resume=; fi
+        stamp "trainer died (attempt $try) — sleeping 240s for worker recovery," \
+              "then ${resume:---fresh restart}"
+        tail -2 "$log"
+        sleep 240
+    done
+}
+
 # SKIP_PREP=1 reuses an existing $ROOT/processed (corpus gen + feature import are the
 # slow CPU stages; the trainers re-read everything from disk)
 if [ -z "${SKIP_PREP:-}" ]; then
@@ -88,13 +114,10 @@ fi
 if [ -n "${SKIP_MAIN:-}" ]; then
     stamp "5+5b/8 skipped (SKIP_MAIN=1, reusing $ROOT/models/cubegan.* + generated_files/free)"
 else
-stamp "5/8 main Cubegan run ($MAIN_STEPS steps${FUSED_FLAG:+, fused-tail training})"
-python -u scripts/train_cubegan.py \
-    --output-base "$ROOT/models/cubegan" \
-    --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
+stamp "5/8 main Cubegan run ($MAIN_STEPS steps${FUSED_FLAG:+, fused-tail training}, dtype $COMPUTE_DTYPE)"
+train_with_retry "$ROOT/models/cubegan" "$ROOT/train_main.log" \
     --max-steps "$MAIN_STEPS" $FUSED_FLAG --compute-dtype "$COMPUTE_DTYPE" \
-    --epoch-generation "$EPOCH_GEN" --generation-limit -1 --opt-save-every "$OPT_SAVE" \
-    > "$ROOT/train_main.log" 2>&1
+    --epoch-generation "$EPOCH_GEN" --generation-limit -1 --opt-save-every "$OPT_SAVE"
 tail -3 "$ROOT/train_main.log"
 
 # final devset synthesis from the finished weights (epoch-generation cadence may not
@@ -114,14 +137,26 @@ EOF
 fi
 
 stamp "6/8 HF-conditioned Cubegan run ($HF_STEPS steps, lm=hf:$ROOT/demo_lm)"
-python -u scripts/train_cubegan.py \
-    --output-base "$ROOT/models/cubegan_hf" \
-    --train-folder "$ROOT/processed/train" --dev-folder "$ROOT/processed/dev" \
+train_with_retry "$ROOT/models/cubegan_hf" "$ROOT/train_hf.log" \
     --max-steps "$HF_STEPS" --lm "hf:$ROOT/demo_lm" $FUSED_FLAG \
     --compute-dtype "$COMPUTE_DTYPE" \
-    --epoch-generation 0 --opt-save-every 25 \
-    > "$ROOT/train_hf.log" 2>&1
+    --epoch-generation 0 --opt-save-every 25
 tail -3 "$ROOT/train_hf.log"
+
+# HF devset synthesis (VERDICT r4 missing item 3): score the conditioned variant
+# with the same protocol as the main run, not just API demo wavs
+stamp "6b/8 HF devset synthesis (all dev utterances)"
+rm -rf generated_files/free_hf
+python -u - "$ROOT" <<'EOF'
+import sys, os
+root = sys.argv[1]
+sys.path.insert(0, ".")
+from ttscube_tpu.train.runtime import synthesize_from_checkpoint
+synthesize_from_checkpoint(
+    os.path.join(root, "models/cubegan_hf"),
+    dev_folder=os.path.join(root, "processed/dev"),
+    out_folder="generated_files/free_hf/", limit=-1)
+EOF
 
 stamp "7/8 export + volume reassembly + TTSCube synthesis"
 for variant in cubegan cubegan_hf; do
@@ -174,54 +209,27 @@ JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
     --dir "$OUT" \
     --baseline "$BASELINE" || true
 
-# artifact README: drive config, final losses, metric trend vs the r2 drive
-python -u - "$OUT" "$SPEAKERS" "$SENTENCES" "$MAIN_STEPS" "$HF_STEPS" "$BASELINE" <<'EOF'
-import json, sys, os, csv
-out, spk, sent, main_steps, hf_steps, baseline = sys.argv[1:7]
-lines = [
-    "# Quality drive — round 4",
-    "",
-    f"Corpus: {spk} synthetic speakers x {sent} sentences (scripts/make_demo_corpus.py),",
-    f"imported via scripts/import_blizzard_2023.py. Main Cubegan run {main_steps} steps",
-    f"(batch 16, plain generator path); HF-conditioned run {hf_steps} steps with the",
-    "local demo BERT (scripts/make_demo_lm.py). Phonemizer: aligned, PACC/SACC below.",
-    "Pipeline: corpus -> phonemizer -> GAN runs -> export_model -> split-volume",
-    "reassembly -> TTSCube API synthesis (api_*.wav) -> devset free synthesis",
-    "(synth_*.wav vs orig_*.wav) -> MCD-DTW/F0/VUV/duration metrics.",
-    "(Reference workflow: /root/reference/TRAINING.md steps 1-3.)",
-    "",
-]
-pf = os.path.join(out, "phonemizer_final.txt")
-if os.path.exists(pf):
-    lines += ["Phonemizer final: " + open(pf).read().strip().split("\n")[-1].strip(), ""]
-for pref in ("main_", "hf_"):
-    c = os.path.join(out, f"{pref}losses.csv")
-    if os.path.exists(c):
-        rows = list(csv.DictReader(open(c)))
-        if rows:
-            first, last = rows[0], rows[-1]
-            lines += [f"{pref}run: step {first['step']} -> {last['step']}, "
-                      f"loss_mel {float(first.get('loss_mel', 'nan')):.3f} -> "
-                      f"{float(last.get('loss_mel', 'nan')):.3f}"]
-q = os.path.join(out, "quality_metrics.json")
-if os.path.exists(q):
-    m = json.load(open(q))
-    lines += ["", f"## Metrics ({m.get('n_pairs')} devset pairs, free synthesis)", ""]
-    for k in ("mean_mcd_dtw_db", "mean_f0_rmse_hz", "mean_vuv_error_pct",
-              "mean_dur_error_pct", "mean_voiced_ratio_synth"):
-        if m.get(k) is not None:
-            lines.append(f"- {k}: {m[k]}")
-    t = m.get("trend_vs_baseline", {})
-    if t.get("metrics"):
-        lines += ["", f"## Trend vs baseline `{baseline}` "
-                      f"({t.get('baseline_n_pairs')} pairs)", ""]
-        if os.path.exists(os.path.join(out, "README_5k.md")):
-            lines += ["(Previous 5k-step drive + metric-scale calibration: "
-                      "README_5k.md — chance floor 49.5 dB, oracle floor 1.4 dB.)", ""]
-        for k, d in t["metrics"].items():
-            arrow = "improved" if d["delta"] < 0 else "regressed"
-            lines.append(f"- {k}: {d['baseline']} -> {d['now']} ({d['delta']:+.3f}, {arrow})")
-open(os.path.join(out, "README.md"), "w").write("\n".join(lines) + "\n")
-print("wrote", os.path.join(out, "README.md"))
-EOF
+# HF-conditioned variant: same pairs, same metrics, into $OUT/hf — with the MAIN
+# run's fresh metrics as the baseline so the trend table is a direct
+# conditioned-vs-plain comparison on an identical protocol
+if compgen -G "generated_files/free_hf/*.wav" > /dev/null; then
+    mkdir -p "$OUT/hf"
+    for f in generated_files/free_hf/*.wav; do
+        cp "$f" "$OUT/hf/synth_$(basename "$f")"
+    done
+    for f in "$OUT"/hf/synth_*.wav; do
+        id=$(basename "$f" .wav); id=${id#synth_}
+        [ -e "$ROOT/processed/dev/$id.wav" ] && \
+            cp "$ROOT/processed/dev/$id.wav" "$OUT/hf/orig_$id.wav"
+    done
+    JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
+        --dir "$OUT/hf" \
+        --baseline "$OUT/quality_metrics.json" || true
+fi
+
+# artifact README: drive config, final losses, metric trends (shared generator —
+# the extend drive regenerates it after re-eval with the same module)
+python -u scripts/make_drive_readme.py --dir "$OUT" \
+    --speakers "$SPEAKERS" --sentences "$SENTENCES" \
+    --title "${README_TITLE:-Quality drive}"
 stamp "DONE"

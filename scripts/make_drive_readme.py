@@ -14,7 +14,7 @@ import json
 import os
 
 
-def build_readme(out, speakers="3", sentences="220", title="Quality drive — round 4"):
+def build_readme(out, speakers="3", sentences="220", title="Quality drive"):
     lines = [
         f"# {title}",
         "",
@@ -72,6 +72,21 @@ def build_readme(out, speakers="3", sentences="220", title="Quality drive — ro
                              else "flat" if d["delta"] == 0 else "regressed")
                 lines.append(f"- {k}: {d['baseline']} -> {d['now']} "
                              f"({d['delta']:+.3f}, {arrow})")
+    qh = os.path.join(out, "hf", "quality_metrics.json")
+    if os.path.exists(qh):
+        m = json.load(open(qh))
+        lines += ["", f"## HF-conditioned variant ({m.get('n_pairs')} pairs, "
+                      "same protocol — hf/quality_metrics.json)", ""]
+        for k in ("mean_mcd_dtw_db", "mean_f0_rmse_hz", "mean_vuv_error_pct",
+                  "mean_dur_error_pct", "mean_voiced_ratio_synth"):
+            if m.get(k) is not None:
+                lines.append(f"- {k}: {m[k]}")
+        t = m.get("trend_vs_baseline", {})
+        if t.get("metrics") and t.get("comparable"):
+            lines += ["", "vs the main run (negative delta = HF variant better):", ""]
+            for k, d in t["metrics"].items():
+                lines.append(f"- {k}: main {d['baseline']} -> hf {d['now']} "
+                             f"({d['delta']:+.3f})")
     path = os.path.join(out, "README.md")
     open(path, "w").write("\n".join(lines) + "\n")
     return path
@@ -82,6 +97,6 @@ if __name__ == "__main__":
     ap.add_argument("--dir", required=True)
     ap.add_argument("--speakers", default="3")
     ap.add_argument("--sentences", default="220")
-    ap.add_argument("--title", default="Quality drive — round 4")
+    ap.add_argument("--title", default="Quality drive")
     a = ap.parse_args()
     print("wrote", build_readme(a.dir, a.speakers, a.sentences, a.title))
