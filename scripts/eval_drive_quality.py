@@ -152,11 +152,13 @@ def main(args):
         raise SystemExit(f"no orig_/synth_ wav pairs under {args.dir}")
 
     rows = []
+    orig_mels = {}  # uid -> log-mel of the original (reused for the chance floor)
     for uid, orig, synth in pairs:
         wo, sr = read_wav(orig)
         ws, sr2 = read_wav(synth)
         assert sr == sr2, (sr, sr2)
         mo, ms = log_mel(wo, sr), log_mel(ws, sr)
+        orig_mels[uid] = mo
         mcd, path = mcd_dtw(mo, ms)
         f0o = rapt_pitch(np.asarray(wo, np.float32), sr=sr)
         f0s = rapt_pitch(np.asarray(ws, np.float32), sr=sr)
@@ -194,6 +196,37 @@ def main(args):
         "mean_dur_error_pct": _mean("dur_error_pct"),
         "mean_voiced_ratio_synth": _mean("voiced_ratio_synth"),
     }
+    # Chance floor (r4 README_5k.md calibration, now computed every run): MCD-DTW
+    # between MISMATCHED original pairs — each devset recording scored against a
+    # different sentence, same speaker when possible. A mean MCD near this line means
+    # "no better than comparing arbitrary corpus audio"; the deliverable is a margin
+    # clearly below it. (The oracle floor — corpus-generator re-synthesis under a
+    # different noise realization, 1.39 dB in r4 — needs corpus internals and stays a
+    # documented one-off.)
+    uids = [r["id"] for r in rows]
+    chance_pairs, chance_vals = [], []
+    for idx, uid in enumerate(uids):
+        spk = uid.split("_")[0]
+        same_spk = [u for u in uids if u != uid and u.split("_")[0] == spk]
+        pool = same_spk or [u for u in uids if u != uid]
+        if not pool:
+            break
+        partner = pool[(uids.index(uid) + 1) % len(pool)] if len(pool) > 1 else pool[0]
+        mcd_x, _ = mcd_dtw(orig_mels[uid], orig_mels[partner])
+        chance_pairs.append([uid, partner])
+        chance_vals.append(mcd_x)
+    if chance_vals:
+        floor = round(float(np.mean(chance_vals)), 3)
+        summary["calibration"] = {
+            "chance_floor_mcd_dtw_db": floor,
+            "chance_pairs": chance_pairs,
+            "margin_below_chance_db": (round(floor - summary["mean_mcd_dtw_db"], 3)
+                                       if summary["mean_mcd_dtw_db"] is not None
+                                       else None),
+        }
+        print(f"chance floor (mismatched originals): {floor:.2f} dB — "
+              f"mean MCD margin below it: "
+              f"{summary['calibration']['margin_below_chance_db']:+.2f} dB")
     pair_ids = sorted(r["id"] for r in rows)
     summary["protocol"] = {"pair_ids": pair_ids}
     if args.protocol and os.path.exists(args.protocol):
