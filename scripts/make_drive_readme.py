@@ -53,6 +53,12 @@ def build_readme(out, speakers="3", sentences="220", title="Quality drive"):
                   "mean_dur_error_pct", "mean_voiced_ratio_synth"):
             if m.get(k) is not None:
                 lines.append(f"- {k}: {m[k]}")
+        cal = m.get("calibration", {})
+        if cal.get("chance_floor_mcd_dtw_db") is not None:
+            lines.append(
+                f"- chance floor (mismatched originals): "
+                f"{cal['chance_floor_mcd_dtw_db']} dB — margin below it: "
+                f"**{cal.get('margin_below_chance_db'):+.2f} dB**")
         t = m.get("trend_vs_baseline", {})
         if t.get("metrics"):
             lines += ["", f"## Trend vs baseline `{t.get('baseline_file', '?')}` "
@@ -81,6 +87,12 @@ def build_readme(out, speakers="3", sentences="220", title="Quality drive"):
                   "mean_dur_error_pct", "mean_voiced_ratio_synth"):
             if m.get(k) is not None:
                 lines.append(f"- {k}: {m[k]}")
+        cal = m.get("calibration", {})
+        if cal.get("chance_floor_mcd_dtw_db") is not None:
+            lines.append(
+                f"- chance floor (mismatched originals): "
+                f"{cal['chance_floor_mcd_dtw_db']} dB — margin below it: "
+                f"**{cal.get('margin_below_chance_db'):+.2f} dB**")
         t = m.get("trend_vs_baseline", {})
         if t.get("metrics") and t.get("comparable"):
             lines += ["", "vs the main run (negative delta = HF variant better):", ""]
