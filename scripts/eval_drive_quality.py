@@ -137,6 +137,22 @@ def voiced_ratio(logmel: np.ndarray, floor_db: float = -4.0) -> float:
     return float((logmel.mean(axis=1) > floor_db).mean())
 
 
+def chance_floor_pairs(uids: list) -> list:
+    """Mismatched-pair assignment for the chance floor: each uid scored against a
+    DIFFERENT uid, same speaker when possible (uid format ``SPK<k>_<sentence>``).
+    Deterministic, so every round's floor uses the same assignment."""
+    out = []
+    for uid in uids:
+        spk = uid.split("_")[0]
+        same_spk = [u for u in uids if u != uid and u.split("_")[0] == spk]
+        pool = same_spk or [u for u in uids if u != uid]
+        if not pool:
+            continue
+        partner = pool[(uids.index(uid) + 1) % len(pool)] if len(pool) > 1 else pool[0]
+        out.append((uid, partner))
+    return out
+
+
 def main(args):
     _force_cpu_jax()
     from ttscube_tpu.dsp.pitch import rapt_pitch
@@ -205,13 +221,7 @@ def main(args):
     # documented one-off.)
     uids = [r["id"] for r in rows]
     chance_pairs, chance_vals = [], []
-    for idx, uid in enumerate(uids):
-        spk = uid.split("_")[0]
-        same_spk = [u for u in uids if u != uid and u.split("_")[0] == spk]
-        pool = same_spk or [u for u in uids if u != uid]
-        if not pool:
-            break
-        partner = pool[(uids.index(uid) + 1) % len(pool)] if len(pool) > 1 else pool[0]
+    for uid, partner in chance_floor_pairs(uids):
         mcd_x, _ = mcd_dtw(orig_mels[uid], orig_mels[partner])
         chance_pairs.append([uid, partner])
         chance_vals.append(mcd_x)

@@ -116,3 +116,22 @@ def test_voiced_ratio_bounds():
     loud = np.zeros((20, 80), np.float32)
     assert edq.voiced_ratio(silent) == 0.0
     assert edq.voiced_ratio(loud) == 1.0
+
+
+def test_chance_floor_pairs_same_speaker_never_self():
+    uids = [f"SPK{s}_{i:08d}" for s in range(3) for i in range(4)]
+    pairs = edq.chance_floor_pairs(uids)
+    assert len(pairs) == len(uids)
+    for uid, partner in pairs:
+        assert partner != uid
+        assert partner.split("_")[0] == uid.split("_")[0]  # same speaker available
+    # deterministic: same input -> same assignment (round-over-round floors compare)
+    assert pairs == edq.chance_floor_pairs(list(uids))
+
+
+def test_chance_floor_pairs_falls_back_across_speakers():
+    uids = ["SPK0_00000000", "SPK1_00000000"]  # one utterance per speaker
+    pairs = edq.chance_floor_pairs(uids)
+    assert pairs == [("SPK0_00000000", "SPK1_00000000"),
+                     ("SPK1_00000000", "SPK0_00000000")]
+    assert edq.chance_floor_pairs(["SPK0_00000000"]) == []
