@@ -153,7 +153,8 @@ def _train(args):
           on_epoch_end=on_epoch_end if args.epoch_generation > 0 else None,
           epoch_generation=max(args.epoch_generation, 1),
           opt_save_every=args.opt_save_every,
-          defer_best_saves=args.defer_best_saves)
+          defer_best_saves=args.defer_best_saves,
+          cache_batches=args.cache_batches)
 
 
 if __name__ == "__main__":
@@ -194,5 +195,14 @@ if __name__ == "__main__":
                         "the --opt-save-every cadence — the per-improvement 392 MB "
                         "relay fetch otherwise dominates short epochs, measured "
                         "~46 s/epoch vs ~11 s in the r4 quality drive)")
+    parser.add_argument("--no-cache-batches", dest="cache_batches",
+                        action="store_false", default=True,
+                        help="re-collate + re-transfer every batch each step instead "
+                        "of iterating a device-resident batch cache (the default "
+                        "cache freezes batch composition but keeps per-epoch order "
+                        "shuffling and per-step crop/noise randomness; it exists "
+                        "because the axon relay client leaks host memory on every "
+                        "host->device transfer — ~22 MB/step OOM-killed a 128 GB box "
+                        "at step ~5.8k of a 30k-step drive)")
     parser.add_argument("--resume", dest="resume", action="store_true")
     _train(parser.parse_args())

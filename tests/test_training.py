@@ -216,3 +216,27 @@ def test_resume_falls_back_on_truncated_opt_checkpoint(tmp_path):
     # the trainer's fallback path: load_params on .last still works
     got = load_params(base + ".last", {"w": np.zeros((4,), np.float32)})
     np.testing.assert_array_equal(got["w"], np.full((4,), 3.0, np.float32))
+
+
+def test_cubegan_loop_cached_batches(tmp_path):
+    """cache_batches=True (the train_cubegan default): device-resident batch cache,
+    per-epoch order permutation — same step count, finite losses, checkpoints written.
+    Exists because the axon relay client leaks host memory per host->device transfer
+    (r5: ~22 MB/step OOM-killed a 30k-step drive at step ~5.8k)."""
+    make_corpus(tmp_path / "corpus", n=4)
+    ds = CubeganDataset(str(tmp_path / "corpus"))
+    enc = CubeganEncodings()
+    enc.compute(ds)
+    model = tiny_model()
+    collate = CubeganCollate(enc, min_frames=60, bucket_frames=60, bucket_phones=16)
+    example = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    step = jax.jit(lambda s, b, r: train_step(model, s, b, r))
+    vstep = jax.jit(lambda s, b, r: val_step(model, s, b, r))
+    base = str(tmp_path / "model" / "cubegan")
+    final = train(state=state, train_step=step, val_step=vstep,
+                  trainset=ds, devset=ds, collate=collate, batch_size=2,
+                  output_base=base, selection_metric="loss_mel",
+                  max_epochs=2, log_every=1, cache_batches=True)
+    assert int(jax.device_get(final.step)) == 4  # 2 epochs x 2 cached batches
+    assert os.path.exists(base + ".last") and os.path.exists(base + ".opt.last")

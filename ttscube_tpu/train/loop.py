@@ -44,6 +44,15 @@ def train(
     defer_best_saves: bool = False,   # keep improving params device-side and persist
     # `.best` only on the opt_save_every cadence — on relay-attached TPUs the
     # per-improvement param fetch otherwise dominates short epochs (see BestKeeper)
+    cache_batches: bool = False,   # materialize every collated train/val batch on the
+    # device ONCE and iterate a per-epoch permutation of the cache. Batch COMPOSITION
+    # is frozen (who is grouped with whom, from the seed-epoch-0 shuffle); order still
+    # reshuffles every epoch and per-step randomness (crops, noise) comes from
+    # fold_in(state.step) inside the jitted step, so training stays stochastic where
+    # it matters. Two wins on relay-attached TPUs: (a) the axon client leaks host
+    # memory on every host->device transfer (~22 MB/step at batch 16 — a 30k-step
+    # run OOM-killed a 128 GB box at step ~5.8k, r5), and a fixed batch set makes the
+    # per-step transfer zero; (b) fixed shapes mean no late-epoch bucket recompiles.
 ):
     import jax.numpy as jnp
 
@@ -70,12 +79,36 @@ def train(
     epoch = 0
     global_step = int(jax.device_get(state.step))
 
+    train_cache = val_cache = None
+    if cache_batches:
+        train_cache = [{k: jnp.asarray(v) for k, v in b.items()}
+                       for b in batch_iterator(trainset, batch_size, collate,
+                                               shuffle=True, seed=seed)]
+        val_cache = [{k: jnp.asarray(v) for k, v in b.items()}
+                     for b in batch_iterator(devset, batch_size, collate,
+                                             shuffle=False)]
+
+    def _train_batches(epoch):
+        if train_cache is not None:
+            order = np.random.default_rng(seed + epoch).permutation(len(train_cache))
+            for i in order:
+                yield train_cache[i]
+        else:
+            for b in batch_iterator(trainset, batch_size, collate, shuffle=True,
+                                    seed=seed + epoch):
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+    def _val_batches():
+        if val_cache is not None:
+            yield from val_cache
+        else:
+            for b in batch_iterator(devset, batch_size, collate, shuffle=False):
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
     while max_epochs == -1 or epoch < max_epochs:
         t0 = time.time()
         window = []
-        for batch in batch_iterator(trainset, batch_size, collate, shuffle=True,
-                                    seed=seed + epoch):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        for batch in _train_batches(epoch):
             state, metrics = train_step(state, batch, base_rng)
             window.append(metrics)
             global_step += 1
@@ -90,8 +123,7 @@ def train(
 
         # validation
         val_metrics = []
-        for batch in batch_iterator(devset, batch_size, collate, shuffle=False):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        for batch in _val_batches():
             val_metrics.append(val_step(state, batch, val_rng))
         if val_metrics:
             fetched = [jax.device_get(m) for m in val_metrics]
