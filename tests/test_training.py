@@ -240,3 +240,26 @@ def test_cubegan_loop_cached_batches(tmp_path):
                   max_epochs=2, log_every=1, cache_batches=True)
     assert int(jax.device_get(final.step)) == 4  # 2 epochs x 2 cached batches
     assert os.path.exists(base + ".last") and os.path.exists(base + ".opt.last")
+
+
+def test_cubegan_loop_cache_budget_falls_back(tmp_path, capsys):
+    """A collated train set over cache_batches_budget must stream (the cache lives in
+    HBM; a real-scale corpus cannot be force-cached)."""
+    make_corpus(tmp_path / "corpus", n=4)
+    ds = CubeganDataset(str(tmp_path / "corpus"))
+    enc = CubeganEncodings()
+    enc.compute(ds)
+    model = tiny_model()
+    collate = CubeganCollate(enc, min_frames=60, bucket_frames=60, bucket_phones=16)
+    example = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    step = jax.jit(lambda s, b, r: train_step(model, s, b, r))
+    vstep = jax.jit(lambda s, b, r: val_step(model, s, b, r))
+    base = str(tmp_path / "model" / "cubegan")
+    final = train(state=state, train_step=step, val_step=vstep,
+                  trainset=ds, devset=ds, collate=collate, batch_size=2,
+                  output_base=base, selection_metric="loss_mel",
+                  max_epochs=1, log_every=1, cache_batches=True,
+                  cache_batches_budget=1)
+    assert int(jax.device_get(final.step)) == 2
+    assert "streaming batches instead" in capsys.readouterr().out

@@ -44,6 +44,10 @@ def train(
     defer_best_saves: bool = False,   # keep improving params device-side and persist
     # `.best` only on the opt_save_every cadence — on relay-attached TPUs the
     # per-improvement param fetch otherwise dominates short epochs (see BestKeeper)
+    cache_batches_budget: int = 4 << 30,   # fall back to streaming when the collated
+    # train set exceeds this many bytes — the cache lives in device HBM (16 GB on
+    # v5e, shared with params/optimizer/activations), so a real-scale corpus
+    # (e.g. 13k utterances ≈ 18 GB) must not be force-cached
     cache_batches: bool = False,   # materialize every collated train/val batch on the
     # device ONCE and iterate a per-epoch permutation of the cache. Batch COMPOSITION
     # is frozen (who is grouped with whom, from the seed-epoch-0 shuffle); order still
@@ -81,12 +85,20 @@ def train(
 
     train_cache = val_cache = None
     if cache_batches:
-        train_cache = [{k: jnp.asarray(v) for k, v in b.items()}
-                       for b in batch_iterator(trainset, batch_size, collate,
-                                               shuffle=True, seed=seed)]
-        val_cache = [{k: jnp.asarray(v) for k, v in b.items()}
-                     for b in batch_iterator(devset, batch_size, collate,
-                                             shuffle=False)]
+        host = list(batch_iterator(trainset, batch_size, collate,
+                                   shuffle=True, seed=seed))
+        total = sum(np.asarray(v).nbytes for b in host for v in b.values())
+        if total > cache_batches_budget:
+            sys.stdout.write(
+                f"cache_batches: collated train set is {total/2**30:.1f} GiB > "
+                f"budget {cache_batches_budget/2**30:.1f} GiB — streaming batches "
+                f"instead (device cache must fit HBM)\n")
+        else:
+            train_cache = [{k: jnp.asarray(v) for k, v in b.items()} for b in host]
+            val_cache = [{k: jnp.asarray(v) for k, v in b.items()}
+                         for b in batch_iterator(devset, batch_size, collate,
+                                                 shuffle=False)]
+        del host
 
     def _train_batches(epoch):
         if train_cache is not None:
