@@ -70,7 +70,8 @@ def _train(args):
           batch_size=args.batch_size, output_base=args.output_base,
           selection_metric="loss", max_epochs=args.max_epochs,
           max_steps=args.max_steps, resume=args.resume,
-          on_epoch_end=on_epoch_end, epoch_generation=1)
+          on_epoch_end=on_epoch_end, epoch_generation=1,
+          cache_batches=args.cache_batches)
 
 
 if __name__ == "__main__":
@@ -93,5 +94,8 @@ if __name__ == "__main__":
     parser.add_argument("--lr", dest="lr", type=float, default=1e-4)
     parser.add_argument("--max-epochs", dest="max_epochs", type=int, default=-1)
     parser.add_argument("--max-steps", dest="max_steps", type=int, default=-1)
+    parser.add_argument("--cache-batches", dest="cache_batches",
+                        action="store_true", default=False,
+                        help="iterate a device-resident cache of all collated batches (order reshuffles per epoch, composition frozen) — avoids the axon relay client's per-transfer host-memory leak on long runs; requires the collated set to fit the HBM budget")
     parser.add_argument("--resume", dest="resume", action="store_true")
     _train(parser.parse_args())
