@@ -71,9 +71,13 @@ for i, t in enumerate(texts):
 EOF
 
 stamp "4/5 refresh artifacts ($OUT)"
-# keep the 5k-step metrics as the trend baseline for the re-eval (don't clobber the
-# snapshot when re-running the extension — quality_metrics.json is now the extended one)
-[ -e "$OUT/quality_metrics_5k.json" ] || cp "$OUT/quality_metrics.json" "$OUT/quality_metrics_5k.json"
+# keep the base drive's metrics as the trend baseline for the re-eval (don't clobber
+# the snapshot when re-running the extension — quality_metrics.json is now the
+# extended one). Legacy name quality_metrics_5k.json (r4's base drive was 5k steps)
+# is honored; new snapshots use the generic _base name.
+BASE_METRICS="$OUT/quality_metrics_5k.json"
+[ -e "$BASE_METRICS" ] || BASE_METRICS="$OUT/quality_metrics_base.json"
+[ -e "$BASE_METRICS" ] || cp "$OUT/quality_metrics.json" "$BASE_METRICS"
 python -u scripts/collect_drive_artifacts.py --log "$ROOT/train_main.log" \
     --out "$OUT" --prefix main_
 cp "$ROOT"/api_cubegan_?.wav "$OUT"/ 2>/dev/null || true
@@ -85,7 +89,7 @@ done
 stamp "5/5 re-evaluate quality metrics (CPU) + regenerate README"
 JAX_PLATFORMS=cpu python -u scripts/eval_drive_quality.py \
     --dir "$OUT" \
-    --baseline "$OUT/quality_metrics_5k.json" || true
+    --baseline "$BASE_METRICS" || true
 # keep the artifact README in sync with the re-evaluated metrics (a stale README
 # from the base drive would misreport the extended run)
 python -u scripts/make_drive_readme.py --dir "$OUT" \
