@@ -287,3 +287,37 @@ def test_bf16_compute_train_step_matches_fp32_within_noise():
     # params remain fp32 after the bf16 step
     assert all(l.dtype == np.float32 for l in jax.tree.leaves(jax.device_get(s16.params))
                if hasattr(l, "dtype"))
+
+
+def test_fused_tail_train_bf16_falls_back_with_warning():
+    """fused_tail_train + compute_dtype=bfloat16 must NOT reach the fused custom-VJP
+    (its backward mixes bf16 cotangents with fp32 operands in conv_general_dilated —
+    r5 TPU window measurement); the gate falls back to the flax path with a warning
+    and the forward matches the plain bf16 config exactly."""
+    import dataclasses
+    import warnings
+
+    base = tiny_model()
+    cfg_fused16 = dataclasses.replace(
+        base.config,
+        hifigan=dataclasses.replace(TINY_HIFI, fused_tail_train=True,
+                                    fused_train_max_batch=16,
+                                    compute_dtype="bfloat16"),
+        disc_compute_dtype="bfloat16")
+    cfg_plain16 = dataclasses.replace(
+        base.config,
+        hifigan=dataclasses.replace(TINY_HIFI, compute_dtype="bfloat16"),
+        disc_compute_dtype="bfloat16")
+    m_fused = Cubegan(cfg_fused16)
+    m_plain = Cubegan(cfg_plain16)
+    batch = toy_batch(B=2)
+    state = create_train_state(base, jax.random.PRNGKey(0), batch)
+    pg = {k: v for k, v in state.params.items() if k not in ("mpd", "msd")}
+    rng = jax.random.PRNGKey(3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        outs_fused, y_f = m_fused.gan_forward(pg, batch, rng, 50)
+    assert any("not supported by the fused custom-VJP" in str(x.message) for x in w)
+    outs_plain, y_p = m_plain.gan_forward(pg, batch, rng, 50)
+    np.testing.assert_allclose(np.asarray(outs_fused[3]), np.asarray(outs_plain[3]),
+                               atol=0)

@@ -189,17 +189,29 @@ class Cubegan:
         window = min(window, cond.shape[1])
         cond_w, y_w = self._crop(cond, batch["y_audio"], batch["n_frames"], rng, window)
         use_fused = (self.config.hifigan.fused_tail_train
+                     and self.config.hifigan.compute_dtype == "float32"
                      and cond_w.shape[0] <= self.config.hifigan.fused_train_max_batch)
         if self.config.hifigan.fused_tail_train and not use_fused:
             import warnings
 
-            warnings.warn(
-                f"fused_tail_train: batch {cond_w.shape[0]} exceeds "
-                f"fused_train_max_batch={self.config.hifigan.fused_train_max_batch}; "
-                "falling back to the flax generator path (the custom-VJP program's "
-                "remote compile grows with batch — measure with "
-                "scripts/profile_train.py --fused-tail-train before raising the cap)",
-                stacklevel=2)
+            if self.config.hifigan.compute_dtype != "float32":
+                warnings.warn(
+                    "fused_tail_train: compute_dtype="
+                    f"{self.config.hifigan.compute_dtype} is not supported by the "
+                    "fused custom-VJP backward (bf16 cotangents meet fp32 operands "
+                    "in conv_general_dilated — r5 window measurement); falling back "
+                    "to the flax generator path. bf16-plain is already the fastest "
+                    "working B=16 config (169.4 ms vs fused-fp32 171.3).",
+                    stacklevel=2)
+            else:
+                warnings.warn(
+                    f"fused_tail_train: batch {cond_w.shape[0]} exceeds "
+                    f"fused_train_max_batch="
+                    f"{self.config.hifigan.fused_train_max_batch}; "
+                    "falling back to the flax generator path (measure with "
+                    "scripts/profile_train.py --fused-tail-train before raising "
+                    "the cap)",
+                    stacklevel=2)
         if use_fused:
             # fused pallas tail with a fused pallas BACKWARD (custom VJP): the widest
             # activation and its cotangent stay in VMEM through the GAN step

@@ -83,11 +83,16 @@ class HifiganConfig:
     # activation/cotangent stays in VMEM in both directions of the GAN step
     # (reference training hot path: cubegan.py:85-189).
     fused_tail_train: bool = False
-    # fused_tail_train auto-falls back to the flax path above this batch size: the
-    # custom-VJP program's remote compile grows with batch (round-3 quality drive:
-    # B=4 compiles in minutes, B=16 took >30 min through the axon relay). Raise after
-    # measuring on your deployment (scripts/profile_train.py --fused-tail-train).
-    fused_train_max_batch: int = 8
+    # fused_tail_train auto-falls back to the flax path above this batch size.
+    # r5 window measurement (quiet box, B=16/F=500, reps in one jit): fused-fp32
+    # 171.3 ms vs plain-fp32 181.8 — the fused path WINS at the trainer's real
+    # batch, so the r3 gate of 8 (set when a ">30 min" B=16 compile was blamed on
+    # batch scaling, later debunked as one-time trace + relay contention) is now 16.
+    # Compile cost at B=16: ~230 s one-time through the relay.
+    # NOTE: fused_tail_train only engages at compute_dtype="float32" — the custom-VJP
+    # backward rejects bf16 (mixed-dtype conv_general_dilated); bf16-plain is already
+    # the fastest working B=16 config (169.4 ms).
+    fused_train_max_batch: int = 16
 
     @property
     def jnp_compute_dtype(self):
