@@ -5,6 +5,12 @@ is serving xRT; the same object carries training-side fields ("train_step_ms",
 "train_mfu_pct") measured on a full GAN training step with the fused-tail custom VJP
 (the reference's training hot path, cubegan.py:85-189 — it publishes no numbers, so
 vs_baseline stays the serving ratio; see BASELINE.md).
+
+Train numbers here are the honest ones: device_timer reduces EVERY output leaf, so
+nothing is dead-code-eliminated. The r4 "212.2 ms (bench) vs 145.6 ms
+(profile_train --batch 16)" discrepancy was the profiler DCE-ing ~58% of the step's
+FLOPs (unreduced param leaves); scripts/profile_train.py now reduces every leaf and
+the two agree (see CLAUDE.md round-5 notes).
 Baseline target (BASELINE.md): >= 200x real-time 24 kHz synthesis per v5e chip.
 vs_baseline = measured_xRT / 200.
 
@@ -23,11 +29,15 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12
 
 
-def train_bench(fused: bool = True, B: int = 4, F: int = 500):
+def train_bench(fused: bool = True, B: int = 4, F: int = 500,
+                compute_dtype: str = "float32"):
     """GAN train-step time + MFU at the round-2 profile shape (B=4, F=500).
 
     Returns (step_ms, mfu_pct or None). Uses the fused-tail custom-VJP training path
-    (HifiganConfig.fused_tail_train) when `fused`; the flax path otherwise."""
+    (HifiganConfig.fused_tail_train) when `fused`; the flax path otherwise.
+    `compute_dtype="bfloat16"` runs generator + discriminator convs at bf16 (fp32
+    accumulation/params) — the trainer's real mixed-precision mode
+    (train_cubegan.py --compute-dtype)."""
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +52,9 @@ def train_bench(fused: bool = True, B: int = 4, F: int = 500):
     cfg = CubeganConfig(
         languasito=LanguasitoConfig(num_phones=64, num_speakers=8, max_pitch=400,
                                     max_duration=100),
-        hifigan=HifiganConfig(fused_tail_train=fused and on_tpu))
+        hifigan=HifiganConfig(fused_tail_train=fused and on_tpu,
+                              compute_dtype=compute_dtype),
+        disc_compute_dtype=compute_dtype)
     model = Cubegan(cfg, train=True)
 
     rng = np.random.default_rng(0)
@@ -187,6 +199,19 @@ def main(batch: int = 128, chunk: int = 0, fused: bool = True):
             record["train_mfu_error_b16"] = mfu_err
     except Exception as e:
         record["train_error_b16"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        # same workload in the trainer's bf16 mixed-precision mode — the r4 B=16
+        # profile showed the step is discriminator-fmap-HBM-bound, so bf16 compute
+        # (which halves that traffic) is the headline training lever
+        step_ms, mfu, mfu_err = train_bench(fused=fused, B=16,
+                                            compute_dtype="bfloat16")
+        record["train_step_ms_b16_bf16"] = round(step_ms, 2)
+        if mfu is not None:
+            record["train_mfu_pct_b16_bf16"] = round(mfu, 2)
+        if mfu_err is not None:
+            record["train_mfu_error_b16_bf16"] = mfu_err
+    except Exception as e:
+        record["train_error_b16_bf16"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(record))
 
 
